@@ -1,0 +1,336 @@
+"""SpectralClusterer — the batch orchestrator.
+
+Host-level shell around the compiled pipeline (pipeline.py). API-compatible
+with reference spectral_clusterer.py:29-314 (same constructor knobs, same
+`predict(embeddings[, constraint_matrix])`), with the injectable
+`affinity_function` / `post_eigen_cluster_function` extension points
+preserved.
+
+Differences by design (all documented in SURVEY.md §7):
+  * Options are immutable; AutoTune passes p_percentile as a traced argument
+    instead of mutating refinement options mid-predict
+    (reference spectral_clusterer.py:277).
+  * The refine→eig→gap stage is one jitted function, cached per
+    (config, shape); AutoTune evaluates whole candidate batches with a single
+    vmapped call (one batched eigh).
+  * Randomness (k-means++ init) is an explicit PRNG seed (default 0), the
+    deterministic analog of the reference's random_state=0.
+"""
+
+from __future__ import annotations
+
+import functools
+import typing
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spectralcluster_tpu import ahc as ahc_lib
+from spectralcluster_tpu import fallback as fallback_lib
+from spectralcluster_tpu import pipeline as pipeline_lib
+from spectralcluster_tpu import utils
+from spectralcluster_tpu.autotune import AutoTune
+from spectralcluster_tpu.ops import affinity as affinity_ops
+from spectralcluster_tpu.ops import kmeans as kmeans_ops
+from spectralcluster_tpu.precision import precise_jit
+from spectralcluster_tpu.types import (AutoTuneProxy, ClusterResult,
+                                       ConstraintOptions, EigenGapType,
+                                       EigenSolver, FallbackOptions,
+                                       LaplacianType, RefinementName,
+                                       RefinementOptions)
+
+
+_AFFINITY_JIT = precise_jit(affinity_ops.compute_affinity_matrix)
+
+
+@functools.lru_cache(maxsize=32)
+def _adjust_affinity_jit(options):
+  from spectralcluster_tpu import constraint as constraint_lib
+  return precise_jit(lambda a, q: constraint_lib.adjust_affinity(a, q, options))
+
+
+class SpectralClusterer:
+  """Batch spectral clustering (reference spectral_clusterer.py parity)."""
+
+  def __init__(
+      self,
+      min_clusters: typing.Optional[int] = None,
+      max_clusters: typing.Optional[int] = None,
+      refinement_options: typing.Optional[RefinementOptions] = None,
+      autotune: typing.Optional[AutoTune] = None,
+      fallback_options: typing.Optional[FallbackOptions] = None,
+      laplacian_type: typing.Optional[LaplacianType] = None,
+      stop_eigenvalue: float = 1e-2,
+      row_wise_renorm: bool = False,
+      custom_dist: typing.Union[str, typing.Callable] = "cosine",
+      max_iter: int = 300,
+      constraint_options: typing.Optional[ConstraintOptions] = None,
+      eigengap_type: EigenGapType = EigenGapType.Ratio,
+      max_spectral_size: typing.Optional[int] = None,
+      affinity_function: typing.Optional[typing.Callable] = None,
+      post_eigen_cluster_function: typing.Optional[typing.Callable] = None,
+      seed: int = 0,
+      eigensolver: EigenSolver = EigenSolver.Auto):
+    self.min_clusters = min_clusters
+    self.max_clusters = max_clusters
+    self.refinement_options = refinement_options or RefinementOptions()
+    self.autotune = autotune
+    self.fallback_options = fallback_options or FallbackOptions()
+    self.laplacian_type = laplacian_type
+    self.stop_eigenvalue = stop_eigenvalue
+    self.row_wise_renorm = row_wise_renorm
+    self.custom_dist = custom_dist
+    self.max_iter = max_iter
+    self.constraint_options = constraint_options
+    self.eigengap_type = eigengap_type
+    self.max_spectral_size = max_spectral_size
+    self.affinity_function = affinity_function
+    self.post_eigen_cluster_function = post_eigen_cluster_function
+    self.seed = seed
+    self.eigensolver = eigensolver
+
+  # -- compiled-stage plumbing ------------------------------------------------
+
+  def _config(self) -> pipeline_lib.PipelineConfig:
+    return pipeline_lib.PipelineConfig(
+        refinement_options=self.refinement_options,
+        constraint_options=self.constraint_options,
+        laplacian_type=self.laplacian_type,
+        min_clusters=self.min_clusters,
+        max_clusters=self.max_clusters,
+        stop_eigenvalue=self.stop_eigenvalue,
+        eigengap_type=self.eigengap_type,
+        row_wise_renorm=self.row_wise_renorm,
+        custom_dist=self.custom_dist,
+        max_iter=self.max_iter,
+        eigensolver=self.eigensolver,
+        affinity_symmetric=self.affinity_function is None)
+
+  @staticmethod
+  @functools.lru_cache(maxsize=64)
+  def _eig_fn(cfg: pipeline_lib.PipelineConfig, with_constraint: bool,
+              with_p: bool):
+    """Jitted refine→eig→gap stage, cached per static config.
+
+    Inputs are shape-bucket padded (pipeline_lib.pad_bucket) with a traced
+    ``n_valid``, so streaming workloads with growing N compile O(log N) times.
+    """
+
+    def run(affinity, n_valid, constraint_matrix, p):
+      return pipeline_lib.refine_and_eigendecompose(
+          affinity, cfg,
+          p_percentile=(p if with_p else None),
+          constraint_matrix=(constraint_matrix if with_constraint else None),
+          n_valid=n_valid)
+
+    if with_p and with_constraint:
+      return precise_jit(lambda a, n, c, p: run(a, n, c, p))
+    if with_p:
+      return precise_jit(lambda a, n, p: run(a, n, None, p))
+    if with_constraint:
+      return precise_jit(lambda a, n, c: run(a, n, c, None))
+    return precise_jit(lambda a, n: run(a, n, None, None))
+
+  @staticmethod
+  @functools.lru_cache(maxsize=64)
+  def _eig_batched_fn(cfg: pipeline_lib.PipelineConfig, with_constraint: bool):
+    """Jitted vmap over candidate p_percentiles — one batched eigh."""
+
+    def one(affinity, n_valid, constraint_matrix, p):
+      w, v, n, delta = pipeline_lib.refine_and_eigendecompose(
+          affinity, cfg, p_percentile=p,
+          constraint_matrix=constraint_matrix, n_valid=n_valid)
+      return v, n, delta
+
+    if with_constraint:
+      return precise_jit(
+          lambda a, n, c, ps: jax.vmap(lambda p: one(a, n, c, p))(ps))
+    return precise_jit(
+        lambda a, n, ps: jax.vmap(lambda p: one(a, n, None, p))(ps))
+
+  @staticmethod
+  def _pad_square(mat: np.ndarray) -> typing.Tuple[jnp.ndarray, int]:
+    n = mat.shape[0]
+    b = pipeline_lib.pad_bucket(n)
+    if b == n:
+      return jnp.asarray(mat, dtype=jnp.float32), n
+    out = np.zeros((b, b), dtype=np.float32)
+    out[:n, :n] = np.asarray(mat, dtype=np.float32)
+    return jnp.asarray(out), n
+
+  def _compute_eigenvectors_ncluster(self,
+                                     affinity,
+                                     constraint_matrix=None,
+                                     p_percentile=None):
+    """Refine + eigendecompose + eigengap.
+
+    White-box API parity with reference spectral_clusterer.py:108-168
+    (returns (eigenvectors, n_clusters, max_delta_norm)), with p_percentile
+    as an explicit argument instead of options mutation.
+    """
+    v, n, delta, _ = self._eig_stage(affinity, constraint_matrix, p_percentile)
+    return v, n, delta
+
+  def _eig_stage(self, affinity, constraint_matrix=None, p_percentile=None):
+    """Like _compute_eigenvectors_ncluster but also returns eigenvalues."""
+    cfg = self._config()
+    num = np.asarray(affinity).shape[0]
+    aff_padded, n_valid = self._pad_square(np.asarray(affinity))
+    with_c = constraint_matrix is not None
+    with_p = p_percentile is not None
+    fn = self._eig_fn(cfg, with_c, with_p)
+    args = [aff_padded, jnp.asarray(n_valid, jnp.int32)]
+    if with_c:
+      cm_padded, _ = self._pad_square(np.asarray(constraint_matrix))
+      args.append(cm_padded)
+    if with_p:
+      args.append(jnp.asarray(p_percentile, dtype=jnp.float32))
+    w, v, n, delta = fn(*args)
+    return (np.asarray(v)[:num, :num], int(n), float(delta),
+            np.asarray(w)[:num])
+
+  # -- fallback & size-reduction paths ---------------------------------------
+
+  def _reduce_size_and_predict(self, embeddings: np.ndarray) -> np.ndarray:
+    """AHC size reduction then recursive spectral clustering
+    (reference spectral_clusterer.py:170-199)."""
+    ahc_labels = ahc_lib.agglomerative_cluster(
+        embeddings, metric="cosine", linkage="complete",
+        n_clusters=self.max_spectral_size)
+    ahc_centroids = utils.get_cluster_centroids(embeddings, ahc_labels)
+    spectral_labels = self.predict(ahc_centroids)
+    return utils.chain_labels(ahc_labels, spectral_labels)
+
+  # -- main entry -------------------------------------------------------------
+
+  def predict(
+      self,
+      embeddings: np.ndarray,
+      constraint_matrix: typing.Optional[np.ndarray] = None) -> np.ndarray:
+    """Cluster embeddings; returns (N,) labels.
+
+    Control flow mirrors reference spectral_clusterer.py:201-314.
+    """
+    result = self.predict_with_details(embeddings, constraint_matrix)
+    return result.labels
+
+  def predict_with_details(
+      self,
+      embeddings: np.ndarray,
+      constraint_matrix: typing.Optional[np.ndarray] = None) -> ClusterResult:
+    if not isinstance(embeddings, (np.ndarray, jnp.ndarray)):
+      raise TypeError("embeddings must be a numpy array")
+    if len(embeddings.shape) != 2:
+      raise ValueError("embeddings must be 2-dimensional")
+    embeddings = np.asarray(embeddings)
+    num_embeddings = embeddings.shape[0]
+
+    # Tiny inputs: fallback clusterer (spectral_clusterer.py:230-234).
+    if num_embeddings < self.fallback_options.spectral_min_embeddings:
+      clusterer = fallback_lib.FallbackClusterer(self.fallback_options)
+      labels = clusterer.predict(embeddings)
+      return ClusterResult(labels=labels,
+                           n_clusters=int(np.unique(labels).size))
+
+    # Oversized inputs: AHC reduction (spectral_clusterer.py:236-247).
+    if (self.max_spectral_size is not None
+        and num_embeddings > self.max_spectral_size):
+      if constraint_matrix is not None:
+        raise RuntimeError(
+            "Cannot handle constraint_matrix when max_spectral_size is set")
+      if (self.max_spectral_size < 2 or
+          (self.max_clusters and self.max_spectral_size <= self.max_clusters)
+          or
+          (self.min_clusters and self.max_spectral_size <= self.min_clusters)):
+        raise ValueError("max_spectral_size should be a relatively big number")
+      labels = self._reduce_size_and_predict(embeddings)
+      return ClusterResult(labels=labels,
+                           n_clusters=int(np.unique(labels).size))
+
+    cfg = self._config()
+    if self.affinity_function is None:
+      affinity = np.asarray(
+          _AFFINITY_JIT(jnp.asarray(embeddings, dtype=jnp.float32)))
+    else:
+      affinity = np.asarray(self.affinity_function(embeddings))
+
+    # Single-vs-multi cluster decision (spectral_clusterer.py:253-256).
+    if self.min_clusters == 1:
+      if fallback_lib.check_single_cluster(self.fallback_options, embeddings,
+                                           affinity):
+        return ClusterResult(labels=np.zeros(num_embeddings, dtype=np.int64),
+                             n_clusters=1)
+
+    # Constraint before refinement (spectral_clusterer.py:259-264).
+    cm_for_stage = None
+    if constraint_matrix is not None:
+      if (self.constraint_options is not None
+          and self.constraint_options.apply_before_refinement):
+        adjust = _adjust_affinity_jit(self.constraint_options)
+        affinity = np.asarray(
+            adjust(jnp.asarray(affinity, dtype=jnp.float32),
+                   jnp.asarray(constraint_matrix, dtype=jnp.float32)))
+      else:
+        cm_for_stage = np.asarray(constraint_matrix)
+
+    best_p = None
+    if self.autotune:
+      seq = self.refinement_options.refinement_sequence or ()
+      if RefinementName.RowWiseThreshold not in seq:
+        raise ValueError(
+            "AutoTune is only effective when the refinement sequence"
+            "contains RowWiseThreshold")
+      aff_padded, n_valid = self._pad_square(affinity)
+      n_valid_j = jnp.asarray(n_valid, jnp.int32)
+      batched = self._eig_batched_fn(cfg, cm_for_stage is not None)
+      if cm_for_stage is not None:
+        cm_padded, _ = self._pad_square(cm_for_stage)
+
+      def batch_eval(ps: np.ndarray):
+        ps_j = jnp.asarray(ps, dtype=jnp.float32)
+        if cm_for_stage is not None:
+          v, n, delta = batched(aff_padded, n_valid_j, cm_padded, ps_j)
+        else:
+          v, n, delta = batched(aff_padded, n_valid_j, ps_j)
+        delta = np.asarray(delta)
+        ratios = np.array([
+            self.autotune.ratio_from_proxy(p, d) for p, d in zip(ps, delta)
+        ])
+        return ratios, np.asarray(v)[:, :num_embeddings, :num_embeddings], (
+            np.asarray(n))
+
+      eigenvectors, n_clusters, best_p = self.autotune.tune_batched(batch_eval)
+      eigenvalues, max_delta = None, 0.0
+    else:
+      eigenvectors, n_clusters, max_delta, eigenvalues = (
+          self._eig_stage(affinity, cm_for_stage))
+
+    if self.min_clusters is not None:
+      n_clusters = max(n_clusters, self.min_clusters)
+
+    spectral_embeddings = eigenvectors[:, :n_clusters]
+    if self.row_wise_renorm:
+      rows_norm = np.linalg.norm(spectral_embeddings, axis=1, ord=2)
+      spectral_embeddings = spectral_embeddings / rows_norm.reshape(
+          num_embeddings, 1)
+
+    if self.post_eigen_cluster_function is not None:
+      labels = self.post_eigen_cluster_function(
+          spectral_embeddings=spectral_embeddings,
+          n_clusters=n_clusters,
+          custom_dist=self.custom_dist,
+          max_iter=self.max_iter)
+    else:
+      labels = kmeans_ops.run_kmeans(
+          spectral_embeddings=spectral_embeddings,
+          n_clusters=n_clusters,
+          custom_dist=self.custom_dist,
+          max_iter=self.max_iter,
+          key=jax.random.PRNGKey(self.seed))
+    return ClusterResult(
+        labels=np.asarray(labels),
+        n_clusters=int(n_clusters),
+        eigenvalues=eigenvalues,
+        max_delta_norm=float(max_delta) if max_delta is not None else 0.0,
+        best_p_percentile=best_p)

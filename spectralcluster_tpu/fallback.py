@@ -1,0 +1,179 @@
+"""Fallback clusterers and the single-cluster decision.
+
+Replaces reference naive_clusterer.py and fallback_clusterer.py:
+  * NaiveClusterer — sequential threshold clustering ("Speaker Diarization
+    with LSTM" baseline, naive_clusterer.py:25-105). Host orchestration with
+    a running-mean centroid state; also exposes a jit/scan batch form
+    (``naive_predict_scan``) whose cluster bank is a fixed-size array so long
+    recordings run as one compiled scan instead of a Python loop.
+  * FallbackClusterer — AHC (threshold cut) or Naive (fallback_clusterer.py:
+    95-124). Note the reference has a missing-`raise` bug at :121 for unknown
+    types; we do raise (SURVEY.md §7 quirk 6).
+  * check_single_cluster — all 5 SingleClusterCondition variants
+    (fallback_clusterer.py:127-187), with the GMM-BIC test backed by the JAX
+    1-D EM in ops/gmm.py.
+"""
+
+from __future__ import annotations
+
+import typing
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spectralcluster_tpu import ahc
+from spectralcluster_tpu.ops import gmm as gmm_ops
+from spectralcluster_tpu.types import (FallbackClustererType, FallbackOptions,
+                                       SingleClusterCondition)
+
+
+class NaiveClusterer:
+  """Online threshold clustering with running-mean centroids."""
+
+  def __init__(self,
+               threshold: float,
+               adaptation_threshold: typing.Optional[float] = None):
+    self.threshold = threshold
+    if adaptation_threshold is None:
+      self.adaptation_threshold = threshold
+    elif adaptation_threshold < threshold:
+      raise ValueError("adaptation_threshold cannot be smaller than threshold")
+    else:
+      self.adaptation_threshold = adaptation_threshold
+    self.centroids: typing.List[np.ndarray] = []
+    self.counts: typing.List[int] = []
+
+  def reset(self):
+    self.centroids = []
+    self.counts = []
+
+  def predict_next(self, embedding: np.ndarray) -> int:
+    embedding = np.asarray(embedding, dtype=np.float64).reshape(-1)
+    if not self.centroids:
+      self.centroids.append(embedding.copy())
+      self.counts.append(1)
+      return 0
+    bank = np.stack(self.centroids)
+    sims = (bank @ embedding) / (
+        np.linalg.norm(bank, axis=1) * np.linalg.norm(embedding))
+    if sims.max() < self.threshold:
+      self.centroids.append(embedding.copy())
+      self.counts.append(1)
+      return len(self.centroids) - 1
+    label = int(sims.argmax())
+    if sims[label] > self.adaptation_threshold:
+      c, k = self.centroids[label], self.counts[label]
+      self.centroids[label] = (c * k + embedding) / (k + 1)
+      self.counts[label] = k + 1
+    return label
+
+  def predict(self, embeddings: np.ndarray) -> np.ndarray:
+    return np.array([self.predict_next(e) for e in np.asarray(embeddings)])
+
+  def fit_predict(self, embeddings: np.ndarray) -> np.ndarray:
+    return self.predict(embeddings)
+
+
+def naive_predict_scan(embeddings: jnp.ndarray,
+                       threshold: float,
+                       adaptation_threshold: typing.Optional[float] = None,
+                       max_clusters: typing.Optional[int] = None):
+  """Batch naive clustering as one jitted lax.scan (TPU-friendly form).
+
+  The centroid bank is a fixed (max_clusters, d) array with a live-count;
+  semantics match NaiveClusterer.predict exactly as long as the stream
+  produces ≤ max_clusters clusters (extra clusters clamp to the last slot).
+  """
+  if adaptation_threshold is None:
+    adaptation_threshold = threshold
+  x = jnp.asarray(embeddings, dtype=jnp.float32)
+  n, d = x.shape
+  k_max = max_clusters if max_clusters is not None else n
+
+  def step(state, e):
+    bank, counts, n_live = state
+    norm_e = jnp.linalg.norm(e)
+    bank_norms = jnp.linalg.norm(bank, axis=1)
+    sims = (bank @ e) / (bank_norms * norm_e + 1e-30)
+    sims = jnp.where(jnp.arange(k_max) < n_live, sims, -jnp.inf)
+    best = jnp.argmax(sims)
+    best_sim = sims[best]
+    is_new = (best_sim < threshold) | (n_live == 0)
+    new_slot = jnp.minimum(n_live, k_max - 1)
+    label = jnp.where(is_new, new_slot, best)
+    adapt = (~is_new) & (best_sim > adaptation_threshold)
+    cnt = counts[label]
+    merged = (bank[label] * cnt + e) / (cnt + 1.0)
+    new_row = jnp.where(is_new, e, jnp.where(adapt, merged, bank[label]))
+    new_cnt = jnp.where(is_new, 1.0, jnp.where(adapt, cnt + 1.0, cnt))
+    bank = bank.at[label].set(new_row)
+    counts = counts.at[label].set(new_cnt)
+    n_live = jnp.where(is_new, jnp.minimum(n_live + 1, k_max), n_live)
+    return (bank, counts, n_live), label
+
+  init = (jnp.zeros((k_max, d), jnp.float32), jnp.zeros((k_max,), jnp.float32),
+          jnp.asarray(0, jnp.int32))
+  _, labels = jax.lax.scan(step, init, x)
+  return labels.astype(jnp.int32)
+
+
+class FallbackClusterer:
+  """Dispatch to AHC (threshold cut) or Naive clustering for tiny inputs."""
+
+  def __init__(self, options: FallbackOptions):
+    self.options = options
+    if options.fallback_clusterer_type not in (
+        FallbackClustererType.Agglomerative, FallbackClustererType.Naive):
+      raise ValueError("Unsupported fallback_clusterer_type")
+
+  def predict(self, embeddings: np.ndarray) -> np.ndarray:
+    embeddings = np.asarray(embeddings)
+    if embeddings.shape[0] == 1:
+      return np.zeros(1, dtype=np.int64)
+    if (self.options.fallback_clusterer_type ==
+        FallbackClustererType.Agglomerative):
+      return ahc.agglomerative_cluster(
+          embeddings, metric="cosine", linkage="average",
+          distance_threshold=self.options.agglomerative_threshold)
+    clusterer = NaiveClusterer(
+        threshold=self.options.naive_threshold,
+        adaptation_threshold=self.options.naive_adaptation_threshold)
+    return clusterer.fit_predict(embeddings)
+
+  def fit_predict(self, embeddings: np.ndarray) -> np.ndarray:
+    return self.predict(embeddings)
+
+
+def check_single_cluster(fallback_options: FallbackOptions,
+                         embeddings: typing.Optional[np.ndarray],
+                         affinity: np.ndarray) -> bool:
+  """Single-vs-multi cluster decision; called only when min_clusters == 1.
+
+  Reference fallback_clusterer.py:127-187 semantics for all five conditions.
+  """
+  affinity = np.asarray(affinity)
+  opts = fallback_options
+  cond = opts.single_cluster_condition
+  if cond == SingleClusterCondition.AllAffinity:
+    return bool(affinity.min() > opts.single_cluster_affinity_threshold)
+  elif cond == SingleClusterCondition.NeighborAffinity:
+    neighbor = np.diag(affinity, k=1)
+    return bool(neighbor.min() > opts.single_cluster_affinity_threshold)
+  elif cond == SingleClusterCondition.AffinityStd:
+    return bool(np.std(affinity) < opts.single_cluster_affinity_threshold)
+  elif cond == SingleClusterCondition.AffinityGmmBic:
+    offset = opts.single_cluster_affinity_diagonal_offset
+    if offset >= affinity.shape[0] - 1:
+      raise ValueError(
+          "single_cluster_affinity_diagonal_offset must be significantly "
+          "smaller than affinity matrix dimension")
+    upper = affinity[np.triu_indices(affinity.shape[0], offset)]
+    bic1 = gmm_ops.gmm_bic_1d(upper, 1)
+    bic2 = gmm_ops.gmm_bic_1d(upper, 2)
+    return bic1 < bic2
+  elif cond == SingleClusterCondition.FallbackClusterer:
+    temp = FallbackClusterer(fallback_options)
+    labels = temp.predict(embeddings)
+    return np.unique(labels).size == 1
+  raise TypeError("Unsupported single_cluster_condition")

@@ -1,0 +1,279 @@
+"""Eigendecomposition and eigengap cluster-count selection, TPU-first.
+
+Replaces the reference's LAPACK general ``np.linalg.eig`` (utils.py:44-71) and
+the Python eigengap loop (utils.py:74-130).
+
+Key TPU restructurings:
+  * Symmetric eigendecomposition (XLA ``eigh``) everywhere the pipeline
+    structure allows, via diagonal similarity transforms (see
+    ops/refinement.py docstring and ops/laplacian.py). Eigenvectors are
+    renormalized to unit columns, matching LAPACK eig's convention; column
+    *sign* remains arbitrary in both implementations, which is irrelevant for
+    the downstream K-Means under any metric invariant to reflections.
+  * The eigengap scan is a masked vectorized reduction instead of a Python
+    loop with `break` — jit/vmap-compatible, so AutoTune can evaluate all
+    candidate percentiles with a single batched eigh.
+  * A host-callback general eig is kept as an escape hatch for user-supplied
+    asymmetric affinity functions with no exploitable structure.
+  * ``topk_eigh_subspace``: sharded-friendly randomized subspace iteration
+    for the top-k eigenpairs when N is too large for one chip's full eigh.
+"""
+
+from __future__ import annotations
+
+import functools
+import typing
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spectralcluster_tpu.types import EPS, EigenGapType
+
+
+def _sort_eigs(w: jnp.ndarray, v: jnp.ndarray,
+               descend: bool) -> typing.Tuple[jnp.ndarray, jnp.ndarray]:
+  order = jnp.argsort(-w if descend else w, stable=True)
+  return w[order], v[:, order]
+
+
+def sorted_eigh(mat: jnp.ndarray,
+                descend: bool = True) -> typing.Tuple[jnp.ndarray, jnp.ndarray]:
+  """Symmetric eigendecomposition with eigenvalues sorted as requested."""
+  w, v = jnp.linalg.eigh(mat)
+  if descend:
+    return w[::-1], v[:, ::-1]
+  return w, v
+
+
+def sorted_eigh_similarity(
+    sym_mat: jnp.ndarray,
+    vec_scale: typing.Optional[jnp.ndarray],
+    descend: bool = True,
+    n_valid=None) -> typing.Tuple[jnp.ndarray, jnp.ndarray]:
+  """eigh of a symmetric similarity form; recover original eigenvectors.
+
+  If A = S_d^{-1} M S_d (diagonal similarity), pass M and the per-row scale
+  s = diag(S_d^{-1}): eigenvalues are shared, eigenvectors v = s * u, then
+  renormalized to unit 2-norm columns (LAPACK eig convention, utils.py:59).
+  """
+  w, u = sorted_eigh(sym_mat, descend)
+  if vec_scale is None:
+    return w, u
+  v = vec_scale[:, None] * u
+  if n_valid is None:
+    norms = jnp.linalg.norm(v, axis=0)
+  else:
+    valid = (jnp.arange(v.shape[0]) < n_valid)[:, None]
+    norms = jnp.linalg.norm(jnp.where(valid, v, 0.0), axis=0)
+  return w, v / jnp.where(norms > 0, norms, 1.0)
+
+
+def sorted_eig_general_host(
+    mat: jnp.ndarray,
+    descend: bool = True) -> typing.Tuple[jnp.ndarray, jnp.ndarray]:
+  """General (non-symmetric) eigendecomposition via a host callback.
+
+  LAPACK dgeev has no TPU lowering; this is the documented escape hatch for
+  user-injected asymmetric affinity functions (reference behavior:
+  utils.py:44-71 with `.real`). Not used by any built-in config.
+  """
+  n = mat.shape[0]
+  dtype = mat.dtype
+
+  def _host_eig(m):
+    w, v = np.linalg.eig(np.asarray(m, dtype=np.float64))
+    return w.real.astype(dtype), v.real.astype(dtype)
+
+  w, v = jax.pure_callback(
+      _host_eig,
+      (jax.ShapeDtypeStruct((n,), dtype), jax.ShapeDtypeStruct((n, n), dtype)),
+      mat, vmap_method="sequential")
+  return _sort_eigs(w, v, descend)
+
+
+def snap_small_eigenvalues(w: jnp.ndarray, n_valid=None,
+                           tol: float = 1e-5) -> jnp.ndarray:
+  """Snap eigenvalues below solver noise to exact zero.
+
+  The reference computes in float64 where a structurally-zero eigenvalue comes
+  out ~1e-12 (positive), making the Ratio eigengap w[i-1]/(w[i]+eps) huge. In
+  float32 the same eigenvalue is ±1e-7 with random sign — a negative value
+  silently flips the ratio's sign and changes n_clusters. Snapping |w| <
+  tol·max|w| to 0 restores the exact-arithmetic semantics (the +eps guard then
+  reproduces the huge ratio). ``n_valid`` keeps padded sentinel eigenvalues
+  out of the max and untouched.
+  """
+  if n_valid is None:
+    valid = jnp.ones(w.shape, dtype=bool)
+  else:
+    valid = jnp.arange(w.shape[0]) < n_valid
+  wmax = jnp.max(jnp.where(valid, jnp.abs(w), 0.0))
+  snap = valid & (jnp.abs(w) < tol * wmax)
+  return jnp.where(snap, 0.0, w)
+
+
+# ---------------------------------------------------------------------------
+# Eigengap-based number-of-clusters selection (reference utils.py:74-130).
+# ---------------------------------------------------------------------------
+
+
+def compute_number_of_clusters(
+    eigenvalues: jnp.ndarray,
+    max_clusters: typing.Optional[int] = None,
+    stop_eigenvalue: float = 1e-2,
+    eigengap_type: EigenGapType = EigenGapType.Ratio,
+    descend: bool = True,
+    eps: float = EPS,
+    n_valid=None) -> typing.Tuple[jnp.ndarray, jnp.ndarray]:
+  """Masked, jit-compatible eigengap scan.
+
+  Semantics match the reference loop exactly:
+    descend (utils.py:117-128): for i in [1, range_end), stop at the first i
+      with eigenvalues[i-1] < stop_eigenvalue; delta = w[i-1]/(w[i]+eps)
+      (Ratio) or (w[i-1]-w[i])/max(w) (NormalizedDiff); first maximal delta
+      wins; if no delta > 0, returns (0, 0).
+    ascend (utils.py:106-115): for i in [1, range_end-1), delta uses
+      (w[i+1], w[i]) and the winner index is i+1 (the first eigenvalue of a
+      Laplacian is ~0 so i starts at 1).
+
+  ``n_valid`` (traced) restricts the scan and the NormalizedDiff max to the
+  first n_valid eigenvalues of a padded problem.
+
+  Returns traced (n_clusters:int32, max_delta:float) — callers needing a
+  Python int do one scalar device sync.
+  """
+  if not isinstance(eigengap_type, EigenGapType):
+    raise TypeError("eigengap_type must be a EigenGapType")
+  n = eigenvalues.shape[0]
+  range_end = n
+  if max_clusters and max_clusters + 1 < range_end:
+    range_end = max_clusters + 1
+
+  idx = jnp.arange(n)
+  if n_valid is None:
+    n_valid_arr = jnp.asarray(n, dtype=jnp.int32)
+  else:
+    n_valid_arr = jnp.asarray(n_valid, dtype=jnp.int32)
+
+  if descend:
+    if n < 2:
+      return jnp.asarray(0, jnp.int32), jnp.asarray(0.0, eigenvalues.dtype)
+    lead = eigenvalues[:-1]      # w[i-1] for i = 1..n-1
+    lag = eigenvalues[1:]        # w[i]
+    # Break: iteration i runs only while all previous w[j-1] >= stop.
+    alive = jnp.cumprod((lead >= stop_eigenvalue).astype(jnp.int32)) > 0
+    pos = idx[:-1] + 1           # the loop variable i
+    in_range = (pos < range_end) & (pos < n_valid_arr)
+    if eigengap_type == EigenGapType.Ratio:
+      delta = lead / (lag + eps)
+    else:
+      wmax = jnp.max(jnp.where(idx < n_valid_arr, eigenvalues, -jnp.inf))
+      delta = (lead - lag) / wmax
+    masked = jnp.where(alive & in_range, delta, -jnp.inf)
+    best = jnp.max(masked)
+    best_i = jnp.argmax(masked) + 1
+    n_clusters = jnp.where(best > 0, best_i, 0).astype(jnp.int32)
+    return n_clusters, jnp.maximum(best, 0.0)
+  else:
+    if n < 3:
+      return jnp.asarray(0, jnp.int32), jnp.asarray(0.0, eigenvalues.dtype)
+    cur = eigenvalues[1:-1]      # w[i] for i = 1..n-2
+    nxt = eigenvalues[2:]        # w[i+1]
+    pos = idx[1:-1]              # the loop variable i
+    in_range = (pos < range_end - 1) & (pos + 1 < n_valid_arr)
+    if eigengap_type == EigenGapType.Ratio:
+      delta = nxt / (cur + eps)
+    else:
+      wmax = jnp.max(jnp.where(idx < n_valid_arr, eigenvalues, -jnp.inf))
+      delta = (nxt - cur) / wmax
+    masked = jnp.where(in_range, delta, -jnp.inf)
+    best = jnp.max(masked)
+    best_i = jnp.argmax(masked) + 2   # index i means i+1 clusters
+    n_clusters = jnp.where(best > 0, best_i, 0).astype(jnp.int32)
+    return n_clusters, jnp.maximum(best, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Sentinel handling for padded eigenproblems.
+# ---------------------------------------------------------------------------
+
+
+def apply_padding_sentinels(mat: jnp.ndarray, n_valid,
+                            descend: bool) -> jnp.ndarray:
+  """Make padded coordinates spectrally inert.
+
+  Zeroes padded rows/cols and writes distinct sentinel values on the padded
+  diagonal so that (a) the matrix stays exactly block-diagonal — padded
+  eigenvectors are coordinate vectors, never mixing with the valid subspace —
+  and (b) after sorting, padded eigenvalues land *past the end* of the scan
+  direction (bottom for descending, top for ascending).
+
+  Sentinel magnitude is scaled to the valid block's Gershgorin bound
+  (max absolute row sum ≥ every |eigenvalue|): eigensolver backward error is
+  relative to ‖A‖, so fixed huge sentinels (e.g. 1e6) would inject O(‖sent‖·ε)
+  absolute error into the *valid* eigenvalues — observed as completely wrong
+  eigengaps on TPU's f32 eigh.
+  """
+  n = mat.shape[0]
+  idx = jnp.arange(n)
+  v = idx < n_valid
+  keep = v[:, None] & v[None, :]
+  out = jnp.where(keep, mat, 0.0)
+  bound = jnp.max(jnp.sum(jnp.where(keep, jnp.abs(out), 0.0), axis=1))
+  base = 1.25 * bound + 1.0
+  step = 0.01 * bound + 0.01
+  sign = -1.0 if descend else 1.0
+  sentinels = sign * (base + idx.astype(mat.dtype) * step)
+  diag_vals = jnp.where(v, jnp.diag(out), sentinels)
+  return out - jnp.diag(jnp.diag(out)) + jnp.diag(diag_vals)
+
+
+# ---------------------------------------------------------------------------
+# Top-k eigensolver for sharded large-N problems.
+# ---------------------------------------------------------------------------
+
+
+def topk_eigh_subspace(
+    mat: jnp.ndarray,
+    k: int,
+    key: jax.Array,
+    num_iters: int = 24,
+    oversample: int = 8,
+    largest: bool = True,
+    shift: typing.Optional[float] = None,
+) -> typing.Tuple[jnp.ndarray, jnp.ndarray]:
+  """Randomized subspace (block power) iteration for extreme eigenpairs.
+
+  For N x N sharded across chips, each iteration is one sharded (N,N)x(N,b)
+  matmul + a small QR — the collectives are inserted by GSPMD from the
+  sharding annotations on ``mat``. For smallest eigenpairs of a PSD matrix,
+  iterate on (shift*I - M); ``shift`` defaults to a Gershgorin upper bound.
+  """
+  n = mat.shape[0]
+  b = min(n, k + oversample)
+  if not largest:
+    if shift is None:
+      shift = jnp.max(jnp.sum(jnp.abs(mat), axis=1))
+    op = lambda x: shift * x - jnp.matmul(mat, x,
+                                          preferred_element_type=jnp.float32)
+  else:
+    op = lambda x: jnp.matmul(mat, x, preferred_element_type=jnp.float32)
+
+  q = jax.random.normal(key, (n, b), dtype=mat.dtype)
+  q, _ = jnp.linalg.qr(q)
+
+  def body(_, q):
+    z = op(q)
+    q, _ = jnp.linalg.qr(z)
+    return q
+
+  q = jax.lax.fori_loop(0, num_iters, body, q)
+  # Rayleigh–Ritz on the original matrix.
+  t = q.T @ jnp.matmul(mat, q, preferred_element_type=jnp.float32)
+  t = 0.5 * (t + t.T)
+  w_small, u_small = jnp.linalg.eigh(t)
+  if largest:
+    w_small, u_small = w_small[::-1], u_small[:, ::-1]
+  v = q @ u_small
+  return w_small[:k], v[:, :k]

@@ -1,0 +1,87 @@
+"""1-D Gaussian Mixture fitting + BIC, for the single-cluster test.
+
+Replaces sklearn.mixture.GaussianMixture as used at reference
+fallback_clusterer.py:158-178: fit 1- and 2-component GMMs on the scalar
+upper-triangular affinity values and compare BICs.
+
+The data is 1-D, so this is a tiny EM — implemented in JAX (jit-compiled,
+fori_loop EM steps) with a deterministic quantile-based initialization
+(replacing sklearn's unseeded kmeans init; the BIC *comparison* is what
+matters and is robust to init on the bimodal-vs-unimodal inputs this test
+sees). BIC matches sklearn's formula: -2·LL + p·ln(n) with
+p = 3k - 1 parameters for a k-component 1-D full-covariance mixture.
+"""
+
+from __future__ import annotations
+
+import functools
+import typing
+
+import jax
+import jax.numpy as jnp
+
+_REG_COVAR = 1e-6
+_LOG2PI = 1.8378770664093453
+
+
+@functools.partial(jax.jit, static_argnames=("n_components", "max_iter"))
+def fit_gmm_1d(values: jnp.ndarray,
+               n_components: int = 2,
+               max_iter: int = 100,
+               tol: float = 1e-3) -> typing.Tuple[jnp.ndarray, jnp.ndarray,
+                                                  jnp.ndarray, jnp.ndarray]:
+  """EM fit of a k-component 1-D GMM.
+
+  Returns (weights, means, variances, mean_log_likelihood).
+  """
+  x = values.reshape(-1).astype(jnp.float32)
+  n = x.shape[0]
+  k = n_components
+
+  # Deterministic init: means at evenly spaced quantiles, shared variance.
+  qs = (jnp.arange(k, dtype=jnp.float32) + 0.5) / k
+  means0 = jnp.quantile(x, qs)
+  var0 = jnp.full((k,), jnp.var(x) + _REG_COVAR)
+  w0 = jnp.full((k,), 1.0 / k)
+
+  def log_prob(means, variances, weights):
+    # (n, k) component log densities + log weights
+    d = x[:, None] - means[None, :]
+    lp = -0.5 * (_LOG2PI + jnp.log(variances)[None, :]
+                 + d * d / variances[None, :])
+    return lp + jnp.log(weights)[None, :]
+
+  def em_step(carry, _):
+    weights, means, variances, prev_ll, done = carry
+    lp = log_prob(means, variances, weights)
+    norm = jax.scipy.special.logsumexp(lp, axis=1, keepdims=True)
+    ll = jnp.mean(norm)
+    resp = jnp.exp(lp - norm)                          # (n, k)
+    nk = jnp.sum(resp, axis=0) + 10 * jnp.finfo(jnp.float32).tiny
+    new_means = jnp.sum(resp * x[:, None], axis=0) / nk
+    diff = x[:, None] - new_means[None, :]
+    new_vars = jnp.sum(resp * diff * diff, axis=0) / nk + _REG_COVAR
+    new_w = nk / n
+    converged = jnp.abs(ll - prev_ll) < tol
+    new_carry = jax.lax.cond(
+        done,
+        lambda: (weights, means, variances, prev_ll, done),
+        lambda: (new_w, new_means, new_vars, ll, converged))
+    return new_carry, None
+
+  init = (w0, means0, var0, jnp.asarray(-jnp.inf, jnp.float32),
+          jnp.asarray(False))
+  (weights, means, variances, _, _), _ = jax.lax.scan(
+      em_step, init, None, length=max_iter)
+  lp = log_prob(means, variances, weights)
+  mean_ll = jnp.mean(jax.scipy.special.logsumexp(lp, axis=1))
+  return weights, means, variances, mean_ll
+
+
+def gmm_bic_1d(values, n_components: int) -> float:
+  """BIC of a fitted k-component 1-D GMM (sklearn formula)."""
+  x = jnp.asarray(values).reshape(-1)
+  n = x.shape[0]
+  _, _, _, mean_ll = fit_gmm_1d(x, n_components=n_components)
+  n_params = 3 * n_components - 1
+  return float(-2.0 * mean_ll * n + n_params * jnp.log(jnp.asarray(n, jnp.float32)))

@@ -1,0 +1,272 @@
+"""The compiled spectral-clustering pipeline.
+
+This is the TPU-first heart of the framework. Instead of the reference's
+Python loop of operator objects (spectral_clusterer.py:108-168), the whole
+refine → (laplacian) → eigendecompose → eigengap chain is composed at trace
+time into ONE jittable function, with:
+
+  * static symmetry-structure analysis choosing an `eigh`-only path
+    (ops/refinement.py, ops/laplacian.py) — no LAPACK general eig on TPU;
+  * a masked eigengap scan (ops/eigen.py) — no data-dependent Python control
+    flow;
+  * optional padding masks (`n_valid`) making every shape static for
+    jit/pjit/vmap batching;
+  * `p_percentile` as a *traced* argument so AutoTune can vmap the
+    threshold-dependent suffix over all candidates and run one batched eigh.
+
+Two entry points:
+  `refine_and_eigendecompose` — the mid-pipeline stage (affinity in,
+    eigenvectors / n_clusters out), used by the host orchestrator and by
+    AutoTune's batched candidate evaluation.
+  `spectral_cluster_fixed_k` — the fully-jitted end-to-end step (embeddings
+    in, labels out) with masked K-Means; requires a static cluster-count cap.
+    This is the flagship jit target used by batch/sharded drivers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import typing
+
+import jax
+import jax.numpy as jnp
+
+from spectralcluster_tpu import constraint as constraint_lib
+from spectralcluster_tpu.ops import affinity as affinity_ops
+from spectralcluster_tpu.ops import eigen as eigen_ops
+from spectralcluster_tpu.ops import kmeans as kmeans_ops
+from spectralcluster_tpu.ops import laplacian as laplacian_ops
+from spectralcluster_tpu.ops import refinement as refinement_ops
+from spectralcluster_tpu.types import (ConstraintOptions, EigenGapType,
+                                       EigenSolver, LaplacianType,
+                                       RefinementOptions)
+
+
+def pad_bucket(n: int) -> int:
+  """Round a problem size up to a shape bucket.
+
+  Shape-bucketed padding keeps the number of XLA compilations logarithmic in
+  N (crucial for streaming, where N grows by 1 per step) while bounding
+  padding overhead: powers of two up to 512, then multiples of 256.
+  """
+  if n <= 8:
+    return 8
+  if n <= 512:
+    return 1 << (n - 1).bit_length()
+  return -(-n // 256) * 256
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+  """Static (hashable) configuration of the compiled pipeline."""
+  refinement_options: RefinementOptions = RefinementOptions()
+  constraint_options: typing.Optional[ConstraintOptions] = None
+  laplacian_type: typing.Optional[LaplacianType] = None
+  min_clusters: typing.Optional[int] = None
+  max_clusters: typing.Optional[int] = None
+  stop_eigenvalue: float = 1e-2
+  eigengap_type: EigenGapType = EigenGapType.Ratio
+  row_wise_renorm: bool = False
+  custom_dist: typing.Union[str, typing.Callable, None] = "cosine"
+  max_iter: int = 300
+  eigensolver: EigenSolver = EigenSolver.Auto
+  # Whether the (possibly user-injected) affinity function yields a symmetric
+  # matrix. The built-in cosine affinity always does.
+  affinity_symmetric: bool = True
+  # Eigenvalues with |w| < snap_tol·max|w| are snapped to exact zero before
+  # the eigengap scan (float32 noise at structural zeros otherwise flips the
+  # Ratio eigengap's sign; see ops/eigen.py snap_small_eigenvalues).
+  eigenvalue_snap_tol: float = 1e-5
+
+  def replace(self, **kw) -> "PipelineConfig":
+    return dataclasses.replace(self, **kw)
+
+
+def _descend(cfg: PipelineConfig) -> bool:
+  """Affinity path scans eigenvalues descending; Laplacians ascending
+  (reference spectral_clusterer.py:144-167)."""
+  return cfg.laplacian_type in (None, LaplacianType.Affinity)
+
+
+def _eig_structure(cfg: PipelineConfig, with_constraint: bool) -> str:
+  """Statically classify which eigensolver path applies."""
+  seq = cfg.refinement_options.refinement_sequence
+  structure = refinement_ops.analyze_symmetry(seq, cfg.affinity_symmetric)
+  constraint_after = (
+      with_constraint and cfg.constraint_options is not None and
+      not cfg.constraint_options.apply_before_refinement)
+  if constraint_after and structure == refinement_ops.ROWNORM_TAIL:
+    # Constraint applied to the final (asymmetric) matrix breaks the
+    # D_r^{-1} S structure.
+    structure = refinement_ops.GENERAL
+  if not _descend(cfg):
+    # Laplacian variants need a symmetric affinity input; the similarity
+    # trick in ops/laplacian.py then covers RandomWalk.
+    return (refinement_ops.SYMMETRIC
+            if structure == refinement_ops.SYMMETRIC else refinement_ops.GENERAL)
+  return structure
+
+
+def refine_and_eigendecompose(
+    affinity: jnp.ndarray,
+    cfg: PipelineConfig,
+    p_percentile=None,
+    constraint_matrix: typing.Optional[jnp.ndarray] = None,
+    n_valid=None,
+) -> typing.Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+  """Refinement → (constraint-after) → (Laplacian) → eigendecomposition → gap.
+
+  Mirrors reference `_compute_eigenvectors_ncluster` (spectral_clusterer.py:
+  108-168) with the TPU eigh restructurings. Returns traced
+  (eigenvalues, eigenvectors, n_clusters, max_delta_norm).
+  """
+  ropts = cfg.refinement_options
+  seq = ropts.refinement_sequence or ()
+  with_constraint = constraint_matrix is not None
+  structure = _eig_structure(cfg, with_constraint)
+  descend = _descend(cfg)
+
+  if cfg.eigensolver == EigenSolver.HostGeneral:
+    structure = refinement_ops.GENERAL
+  elif cfg.eigensolver == EigenSolver.Eigh and structure == refinement_ops.GENERAL:
+    raise ValueError(
+        "EigenSolver.Eigh requested but the pipeline structure is not "
+        "symmetric / diagonal-similar; use Auto or HostGeneral.")
+
+  constraint_after = (
+      with_constraint and cfg.constraint_options is not None and
+      not cfg.constraint_options.apply_before_refinement)
+
+  def apply_seq(mat, names):
+    return refinement_ops.apply_refinement_sequence(
+        mat, ropts, sequence=names, p_percentile=p_percentile, n_valid=n_valid)
+
+  if (structure == refinement_ops.ROWNORM_TAIL and
+      cfg.eigensolver in (EigenSolver.Auto, EigenSolver.Eigh)):
+    # A = D_r^{-1} S with S symmetric: eigh on D_r^{-1/2} S D_r^{-1/2}.
+    s = apply_seq(affinity, seq[:-1])
+    d = refinement_ops.row_max_scale(s, n_valid)
+    inv_sqrt = 1.0 / jnp.sqrt(d)
+    m = inv_sqrt[:, None] * s * inv_sqrt[None, :]
+    if n_valid is not None:
+      m = eigen_ops.apply_padding_sentinels(m, n_valid, descend)
+    eigenvalues, eigenvectors = eigen_ops.sorted_eigh_similarity(
+        m, inv_sqrt, descend=descend, n_valid=n_valid)
+  else:
+    refined = apply_seq(affinity, seq)
+    if constraint_after:
+      refined = constraint_lib.adjust_affinity(
+          refined, constraint_matrix, cfg.constraint_options, n_valid)
+    if structure == refinement_ops.GENERAL:
+      mat = laplacian_ops.compute_laplacian(
+          refined, cfg.laplacian_type, n_valid=n_valid
+      ) if not descend else refined
+      if n_valid is not None:
+        mat = eigen_ops.apply_padding_sentinels(mat, n_valid, descend)
+      eigenvalues, eigenvectors = eigen_ops.sorted_eig_general_host(
+          mat, descend=descend)
+    else:
+      if descend:
+        m, scale = refined, None
+      else:
+        m, scale = laplacian_ops.laplacian_similarity(
+            refined, cfg.laplacian_type, n_valid=n_valid)
+      if n_valid is not None:
+        m = eigen_ops.apply_padding_sentinels(m, n_valid, descend)
+      eigenvalues, eigenvectors = eigen_ops.sorted_eigh_similarity(
+          m, scale, descend=descend, n_valid=n_valid)
+
+  eigenvalues = eigen_ops.snap_small_eigenvalues(
+      eigenvalues, n_valid=n_valid, tol=cfg.eigenvalue_snap_tol)
+  n_clusters, max_delta = eigen_ops.compute_number_of_clusters(
+      eigenvalues,
+      max_clusters=cfg.max_clusters,
+      stop_eigenvalue=cfg.stop_eigenvalue,
+      eigengap_type=cfg.eigengap_type,
+      descend=descend,
+      n_valid=n_valid)
+  return eigenvalues, eigenvectors, n_clusters, max_delta
+
+
+def prepare_affinity(
+    embeddings: jnp.ndarray,
+    cfg: PipelineConfig,
+    constraint_matrix: typing.Optional[jnp.ndarray] = None,
+    n_valid=None,
+    affinity_function: typing.Optional[typing.Callable] = None,
+) -> jnp.ndarray:
+  """Affinity construction + constraint-before-refinement, masked."""
+  fn = affinity_function or affinity_ops.compute_affinity_matrix
+  affinity = fn(embeddings)
+  affinity = refinement_ops.mask_padding(affinity, n_valid)
+  if (constraint_matrix is not None and cfg.constraint_options is not None and
+      cfg.constraint_options.apply_before_refinement):
+    affinity = constraint_lib.adjust_affinity(
+        affinity, constraint_matrix, cfg.constraint_options, n_valid)
+  return affinity
+
+
+def spectral_embeddings_from_eigs(
+    eigenvectors: jnp.ndarray,
+    n_clusters,
+    k_max: int,
+    row_wise_renorm: bool,
+    n_valid=None) -> jnp.ndarray:
+  """First-k eigenvector columns with traced-k masking + optional row renorm.
+
+  Columns ≥ n_clusters are zeroed — for the metrics used downstream (cosine,
+  euclidean, ...) zero coordinates are inert, so this equals the reference's
+  dynamic slice eigenvectors[:, :n] (spectral_clusterer.py:299-305).
+  """
+  emb = eigenvectors[:, :k_max]
+  col_ok = jnp.arange(k_max) < n_clusters
+  emb = jnp.where(col_ok[None, :], emb, 0.0)
+  if row_wise_renorm:
+    norms = jnp.linalg.norm(emb, axis=1, keepdims=True)
+    emb = emb / jnp.where(norms > 0, norms, 1.0)
+  if n_valid is not None:
+    row_ok = jnp.arange(emb.shape[0]) < n_valid
+    emb = jnp.where(row_ok[:, None], emb, 0.0)
+  return emb
+
+
+def spectral_cluster_fixed_k(
+    embeddings: jnp.ndarray,
+    key: jax.Array,
+    cfg: PipelineConfig,
+    constraint_matrix: typing.Optional[jnp.ndarray] = None,
+    n_valid=None,
+    kmeans_tol: float = 0.001,
+) -> typing.Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+  """Fully-jitted end-to-end clustering (embeddings → labels).
+
+  Requires cfg.max_clusters (the static centroid cap). Padded rows (index ≥
+  n_valid) receive label 0 and weight 0 throughout. Returns traced
+  (labels, n_clusters, eigenvalues, max_delta_norm).
+  """
+  if cfg.max_clusters is None:
+    raise ValueError(
+        "spectral_cluster_fixed_k requires max_clusters (static k cap); "
+        "use the host-orchestrated SpectralClusterer for unbounded k.")
+  n = embeddings.shape[0]
+  affinity = prepare_affinity(embeddings, cfg, constraint_matrix, n_valid)
+  eigenvalues, eigenvectors, n_gap, max_delta = refine_and_eigendecompose(
+      affinity, cfg, p_percentile=None, constraint_matrix=constraint_matrix,
+      n_valid=n_valid)
+  n_clusters = n_gap
+  if cfg.min_clusters is not None:
+    n_clusters = jnp.maximum(n_clusters, cfg.min_clusters)
+  k_max = cfg.max_clusters
+  emb = spectral_embeddings_from_eigs(
+      eigenvectors, n_clusters, k_max, cfg.row_wise_renorm, n_valid)
+  if n_valid is None:
+    weight = jnp.ones((n,), dtype=emb.dtype)
+  else:
+    weight = (jnp.arange(n) < n_valid).astype(emb.dtype)
+  labels = kmeans_ops.kmeans_fit(
+      emb, n_clusters, key, custom_dist=cfg.custom_dist,
+      max_iter=cfg.max_iter, tol=kmeans_tol, k_max=k_max,
+      sample_weight=weight)
+  labels = jnp.where(jnp.arange(n) < (n_valid if n_valid is not None else n),
+                     labels, 0)
+  return labels, n_clusters, eigenvalues, max_delta

@@ -1,0 +1,137 @@
+"""Tests for fallback & naive clusterers and the single-cluster decision.
+
+Mirrors reference tests/naive_clusterer_test.py and
+tests/fallback_clusterer_test.py.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spectralcluster_tpu import fallback, utils
+from spectralcluster_tpu.types import (FallbackClustererType, FallbackOptions,
+                                       SingleClusterCondition)
+
+MATRIX_6x2 = np.array([
+    [1.0, 0.0],
+    [1.1, 0.1],
+    [0.0, 1.0],
+    [0.1, 1.0],
+    [0.9, -0.1],
+    [0.0, 1.2],
+])
+
+
+class TestNaiveClusterer:
+
+  def test_6by2_matrix(self):
+    clusterer = fallback.NaiveClusterer(threshold=0.5)
+    labels = utils.enforce_ordered_labels(clusterer.predict(MATRIX_6x2))
+    np.testing.assert_equal(np.array([0, 0, 1, 1, 0, 1]), labels)
+
+    assert clusterer.predict_next(np.array([1.2, -0.1])) == 0
+    assert clusterer.predict_next(np.array([-0.1, 0.8])) == 1
+    clusterer.reset()
+    assert clusterer.predict_next(np.array([-0.1, 0.8])) == 0
+
+  def test_adaptation(self):
+    clusterer = fallback.NaiveClusterer(threshold=0.5,
+                                        adaptation_threshold=1.0)
+    assert clusterer.predict_next(np.array([1.2, -0.1])) == 0
+    assert clusterer.counts[0] == 1
+    # adaptation_threshold too big: no adaptation.
+    assert clusterer.predict_next(np.array([1.3, 0.2])) == 0
+    assert clusterer.counts[0] == 1
+    # now small: adapts.
+    clusterer.adaptation_threshold = 0.5
+    assert clusterer.predict_next(np.array([1.3, 0.2])) == 0
+    assert clusterer.counts[0] == 2
+
+  def test_bad_adaptation_threshold(self):
+    with pytest.raises(ValueError):
+      fallback.NaiveClusterer(threshold=0.5, adaptation_threshold=0.1)
+
+  def test_scan_variant_matches_host(self):
+    rng = np.random.RandomState(7)
+    x = rng.randn(40, 8)
+    host = fallback.NaiveClusterer(threshold=0.3).predict(x)
+    scan = np.asarray(fallback.naive_predict_scan(
+        jnp.asarray(x, jnp.float32), threshold=0.3, max_clusters=40))
+    np.testing.assert_equal(utils.enforce_ordered_labels(host),
+                            utils.enforce_ordered_labels(scan))
+
+
+class TestFallbackClusterer:
+
+  def test_6by2_matrix_naive(self):
+    options = FallbackOptions(
+        fallback_clusterer_type=FallbackClustererType.Naive,
+        naive_threshold=0.5)
+    labels = utils.enforce_ordered_labels(
+        fallback.FallbackClusterer(options).predict(MATRIX_6x2))
+    np.testing.assert_equal(np.array([0, 0, 1, 1, 0, 1]), labels)
+
+  def test_6by2_matrix_agglomerative(self):
+    options = FallbackOptions(
+        fallback_clusterer_type=FallbackClustererType.Agglomerative,
+        agglomerative_threshold=0.5)
+    labels = utils.enforce_ordered_labels(
+        fallback.FallbackClusterer(options).predict(MATRIX_6x2))
+    np.testing.assert_equal(np.array([0, 0, 1, 1, 0, 1]), labels)
+
+
+class TestCheckSingleCluster:
+
+  def test_affinity_gmm_bic_single(self):
+    affinity = np.array([[1, 0.999, 1.001], [0.999, 1, 1], [1.001, 1, 1]])
+    opts = FallbackOptions(
+        single_cluster_condition=SingleClusterCondition.AffinityGmmBic)
+    assert fallback.check_single_cluster(opts, None, affinity)
+
+  def test_affinity_gmm_bic_multi(self):
+    affinity = np.array([[1, 2, 2], [2, 1, 1], [2, 1, 1]])
+    opts = FallbackOptions(
+        single_cluster_condition=SingleClusterCondition.AffinityGmmBic)
+    assert not fallback.check_single_cluster(opts, None, affinity)
+
+  def test_all_affinity(self):
+    opts = FallbackOptions(
+        single_cluster_condition=SingleClusterCondition.AllAffinity,
+        single_cluster_affinity_threshold=0.75)
+    high = np.full((3, 3), 0.9)
+    low = np.array([[1, 0.2, 0.9], [0.2, 1, 0.9], [0.9, 0.9, 1]])
+    assert fallback.check_single_cluster(opts, None, high)
+    assert not fallback.check_single_cluster(opts, None, low)
+
+  def test_neighbor_affinity(self):
+    opts = FallbackOptions(
+        single_cluster_condition=SingleClusterCondition.NeighborAffinity,
+        single_cluster_affinity_threshold=0.75)
+    aff = np.array([[1, 0.9, 0.1], [0.9, 1, 0.8], [0.1, 0.8, 1]])
+    assert fallback.check_single_cluster(opts, None, aff)
+    aff2 = np.array([[1, 0.5, 0.1], [0.5, 1, 0.8], [0.1, 0.8, 1]])
+    assert not fallback.check_single_cluster(opts, None, aff2)
+
+  def test_affinity_std(self):
+    opts = FallbackOptions(
+        single_cluster_condition=SingleClusterCondition.AffinityStd,
+        single_cluster_affinity_threshold=0.1)
+    assert fallback.check_single_cluster(opts, None, np.full((3, 3), 0.9))
+    spread = np.array([[1, 0.1, 0.9], [0.1, 1, 0.5], [0.9, 0.5, 1]])
+    assert not fallback.check_single_cluster(opts, None, spread)
+
+  def test_fallback_clusterer_condition(self):
+    opts = FallbackOptions(
+        single_cluster_condition=SingleClusterCondition.FallbackClusterer,
+        fallback_clusterer_type=FallbackClustererType.Naive,
+        naive_threshold=0.5)
+    tight = np.array([[1.0, 0.0], [1.0, 0.05], [0.99, -0.02]])
+    assert fallback.check_single_cluster(opts, tight, None)
+    assert not fallback.check_single_cluster(opts, MATRIX_6x2, None)
+
+  def test_gmm_bic_offset_error(self):
+    opts = FallbackOptions(
+        single_cluster_condition=SingleClusterCondition.AffinityGmmBic,
+        single_cluster_affinity_diagonal_offset=5)
+    with pytest.raises(ValueError):
+      fallback.check_single_cluster(opts, None, np.eye(3))

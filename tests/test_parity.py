@@ -1,0 +1,191 @@
+"""Direct parity tests against the upstream reference package.
+
+Imports the read-only reference (numpy, float64) and checks that our
+float32 TPU pipeline reproduces its refined matrices, eigenvalues, eigengaps
+and (permutation-invariant) labels — the BASELINE.json acceptance criteria.
+"""
+
+import numpy as np
+import pytest
+
+import conftest
+
+if not conftest.reference_available():  # pragma: no cover
+  pytest.skip("reference package not available", allow_module_level=True)
+
+ref = conftest.import_reference()
+
+from spectralcluster_tpu import configs, constraint, utils  # noqa: E402
+from spectralcluster_tpu import types  # noqa: E402
+from spectralcluster_tpu.clusterer import SpectralClusterer  # noqa: E402
+from spectralcluster_tpu.ops import affinity as affinity_ops  # noqa: E402
+from spectralcluster_tpu.ops import refinement as ref_ops  # noqa: E402
+
+import jax.numpy as jnp  # noqa: E402
+
+MATRIX_6x2 = np.array([
+    [1.0, 0.0],
+    [1.1, 0.1],
+    [0.0, 1.0],
+    [0.1, 1.0],
+    [0.9, -0.1],
+    [0.0, 1.2],
+])
+
+
+def _random_embeddings(n, d, clusters, seed):
+  rng = np.random.RandomState(seed)
+  centers = rng.randn(clusters, d) * 4
+  labels = np.repeat(np.arange(clusters), n // clusters)
+  x = centers[labels] + rng.randn(n, d) * 0.3
+  return x, labels
+
+
+class TestAffinityParity:
+
+  @pytest.mark.parametrize("seed", [0, 1, 2])
+  def test_affinity_allclose(self, seed):
+    x, _ = _random_embeddings(60, 16, 3, seed)
+    ours = np.asarray(
+        affinity_ops.compute_affinity_matrix(jnp.asarray(x, jnp.float32)))
+    theirs = ref.utils.compute_affinity_matrix(x)
+    np.testing.assert_allclose(ours, theirs, atol=2e-5)
+
+
+class TestRefinementParity:
+
+  @pytest.mark.parametrize("seed", [0, 1])
+  def test_icassp2018_sequence_allclose(self, seed):
+    x, _ = _random_embeddings(60, 16, 3, seed)
+    theirs = ref.utils.compute_affinity_matrix(x)
+    ref_opts = ref.RefinementOptions(
+        gaussian_blur_sigma=1, p_percentile=0.95,
+        refinement_sequence=ref.configs.ICASSP2018_REFINEMENT_SEQUENCE)
+    refined_ref = theirs.copy()
+    for name in ref.configs.ICASSP2018_REFINEMENT_SEQUENCE:
+      refined_ref = ref_opts.get_refinement_operator(name).refine(refined_ref)
+
+    ours_opts = configs.icassp2018_refinement_options()
+    refined_ours = np.asarray(ref_ops.apply_refinement_sequence(
+        jnp.asarray(theirs, jnp.float32), ours_opts))
+    np.testing.assert_allclose(refined_ours, refined_ref, atol=2e-4)
+
+  @pytest.mark.parametrize("seed", [0, 1])
+  def test_turntodiarize_sequence_allclose(self, seed):
+    x, _ = _random_embeddings(60, 16, 3, seed)
+    theirs = ref.utils.compute_affinity_matrix(x)
+    ref_opts = ref.RefinementOptions(
+        thresholding_soft_multiplier=0.01,
+        thresholding_type=ref.ThresholdType.Percentile,
+        thresholding_with_binarization=True,
+        thresholding_preserve_diagonal=True,
+        symmetrize_type=ref.SymmetrizeType.Average,
+        refinement_sequence=ref.configs.TURNTODIARIZE_REFINEMENT_SEQUENCE)
+    refined_ref = theirs.copy()
+    for name in ref.configs.TURNTODIARIZE_REFINEMENT_SEQUENCE:
+      refined_ref = ref_opts.get_refinement_operator(name).refine(refined_ref)
+
+    refined_ours = np.asarray(ref_ops.apply_refinement_sequence(
+        jnp.asarray(theirs, jnp.float32),
+        configs.turntodiarize_refinement_options()))
+    np.testing.assert_allclose(refined_ours, refined_ref, atol=2e-4)
+
+
+class TestEigenParity:
+  """Eigenvalues/eigengap must match the reference's general-eig pipeline
+  even though we use eigh + similarity transforms (BASELINE.json criterion)."""
+
+  @pytest.mark.parametrize("laplacian", [None, "GraphCut", "RandomWalk",
+                                         "Unnormalized"])
+  def test_eigenvalues_allclose(self, laplacian):
+    x, _ = _random_embeddings(48, 8, 3, 5)
+    aff = ref.utils.compute_affinity_matrix(x)
+
+    ref_opts = ref.RefinementOptions(
+        gaussian_blur_sigma=1, p_percentile=0.95,
+        refinement_sequence=ref.configs.ICASSP2018_REFINEMENT_SEQUENCE)
+    ref_clusterer = ref.SpectralClusterer(
+        min_clusters=2, max_clusters=7,
+        refinement_options=ref_opts,
+        laplacian_type=(getattr(ref.LaplacianType, laplacian)
+                        if laplacian else None))
+
+    our_clusterer = SpectralClusterer(
+        min_clusters=2, max_clusters=7,
+        refinement_options=configs.icassp2018_refinement_options(),
+        laplacian_type=(getattr(types.LaplacianType, laplacian)
+                        if laplacian else None))
+
+    _, n_ref, delta_ref = ref_clusterer._compute_eigenvectors_ncluster(aff)
+    _, n_ours, delta_ours = our_clusterer._compute_eigenvectors_ncluster(aff)
+    assert n_ref == n_ours
+    if np.isfinite(delta_ref) and delta_ref < 1e6:
+      np.testing.assert_allclose(delta_ours, delta_ref, rtol=2e-3)
+
+
+class TestLabelParity:
+
+  @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+  def test_icassp2018_labels(self, seed):
+    x, true = _random_embeddings(120, 32, 3, seed)
+    ref_labels = ref.utils.enforce_ordered_labels(
+        ref.configs.icassp2018_clusterer.predict(x))
+    our_labels = utils.enforce_ordered_labels(
+        configs.make_icassp2018_clusterer().predict(x))
+    np.testing.assert_equal(ref_labels, our_labels)
+
+  @pytest.mark.parametrize("seed", [0, 1])
+  def test_turntodiarize_labels_with_constraint(self, seed):
+    x, true = _random_embeddings(24, 16, 2, seed)
+    rng = np.random.RandomState(seed)
+    scores = [0.0] + [float(s) for s in rng.rand(23) * 2]
+    cm_ref = ref.ConstraintMatrix(scores, threshold=1).compute_diagonals()
+    cm_ours = constraint.ConstraintMatrix(scores, threshold=1)
+    np.testing.assert_equal(cm_ref, cm_ours.compute_diagonals())
+
+    ref_labels = ref.utils.enforce_ordered_labels(
+        ref.configs.turntodiarize_clusterer.predict(x, cm_ref))
+    our_labels = utils.enforce_ordered_labels(
+        configs.make_turntodiarize_clusterer().predict(x, cm_ref))
+    np.testing.assert_equal(ref_labels, our_labels)
+
+
+class TestConstraintParity:
+
+  @pytest.mark.parametrize("alpha", [0.4, 0.6])
+  def test_e2cp_allclose(self, alpha):
+    x, _ = _random_embeddings(24, 8, 2, 3)
+    aff = ref.utils.compute_affinity_matrix(x)
+    q = np.zeros((24, 24))
+    q[0, 1] = q[1, 0] = 1
+    q[5, 6] = q[6, 5] = -1
+    theirs = ref.constraint.ConstraintPropagation(alpha).adjust_affinity(
+        aff, q)
+    ours = np.asarray(constraint.constraint_propagation(
+        jnp.asarray(aff, jnp.float32), jnp.asarray(q, jnp.float32), alpha))
+    np.testing.assert_allclose(ours, theirs, atol=1e-4)
+
+
+class TestAhcParity:
+  """Our nn-chain AHC must match sklearn's AgglomerativeClustering cuts."""
+
+  @pytest.mark.parametrize("seed", [0, 1, 2])
+  @pytest.mark.parametrize("linkage,n_clusters,threshold", [
+      ("complete", 5, None),
+      ("complete", 10, None),
+      ("average", None, 0.5),
+      ("average", None, 0.2),
+  ])
+  def test_matches_sklearn(self, seed, linkage, n_clusters, threshold):
+    from sklearn.cluster import AgglomerativeClustering
+
+    from spectralcluster_tpu import ahc
+    x, _ = _random_embeddings(40, 8, 4, seed)
+    skl = AgglomerativeClustering(
+        n_clusters=n_clusters, metric="cosine", linkage=linkage,
+        distance_threshold=threshold).fit_predict(x)
+    ours = ahc.agglomerative_cluster(
+        x, metric="cosine", linkage=linkage, n_clusters=n_clusters,
+        distance_threshold=threshold)
+    np.testing.assert_equal(utils.enforce_ordered_labels(skl),
+                            utils.enforce_ordered_labels(ours))

@@ -1,0 +1,232 @@
+"""Tests for SpectralClusterer. Mirrors reference
+tests/spectral_clusterer_test.py fixtures and expected labels.
+"""
+
+import numpy as np
+import pytest
+
+from spectralcluster_tpu import utils
+from spectralcluster_tpu.autotune import AutoTune
+from spectralcluster_tpu.clusterer import SpectralClusterer
+from spectralcluster_tpu.configs import ICASSP2018_REFINEMENT_SEQUENCE
+from spectralcluster_tpu.types import (AutoTuneProxy, EigenGapType,
+                                       RefinementName,
+                                       FallbackOptions, LaplacianType,
+                                       RefinementOptions, SingleClusterCondition,
+                                       ThresholdType)
+
+MATRIX_6x2 = np.array([
+    [1.0, 0.0],
+    [1.1, 0.1],
+    [0.0, 1.0],
+    [0.1, 1.0],
+    [0.9, -0.1],
+    [0.0, 1.2],
+])
+EXPECTED_6x2 = np.array([0, 0, 1, 1, 0, 1])
+
+
+def _block_matrix():
+  matrix = np.array([[1.0, 0, 0, 0, 0, 0]] * 400 + [[0, 1.0, 0, 0, 0, 0]] * 300
+                    + [[0, 0, 2.0, 0, 0, 0]] * 200 +
+                    [[0, 0, 0, 1.0, 0, 0]] * 100)
+  # Unseeded noise, as in the reference tests (margin-based robustness).
+  noisy = np.random.rand(1000, 6) * 2 - 1
+  return matrix + noisy * 0.1
+
+
+EXPECTED_1000 = np.array([0] * 400 + [1] * 300 + [2] * 200 + [3] * 100)
+
+
+def _refinement_options(p_percentile=0.95, gaussian_blur_sigma=0):
+  return RefinementOptions(
+      gaussian_blur_sigma=gaussian_blur_sigma,
+      p_percentile=p_percentile,
+      refinement_sequence=ICASSP2018_REFINEMENT_SEQUENCE)
+
+
+class TestSpectralClusterer:
+
+  def test_6by2_matrix(self):
+    clusterer = SpectralClusterer(
+        refinement_options=_refinement_options())
+    labels = utils.enforce_ordered_labels(clusterer.predict(MATRIX_6x2))
+    np.testing.assert_equal(EXPECTED_6x2, labels)
+
+  def test_1000by6_matrix(self):
+    clusterer = SpectralClusterer(
+        refinement_options=_refinement_options(p_percentile=0.2),
+        stop_eigenvalue=0.01)
+    labels = utils.enforce_ordered_labels(clusterer.predict(_block_matrix()))
+    np.testing.assert_equal(EXPECTED_1000, labels)
+
+  def test_1000by6_matrix_reduce_dimension(self):
+    clusterer = SpectralClusterer(
+        refinement_options=_refinement_options(p_percentile=0.2),
+        stop_eigenvalue=0.01,
+        max_spectral_size=100)
+    labels = utils.enforce_ordered_labels(clusterer.predict(_block_matrix()))
+    np.testing.assert_equal(EXPECTED_1000, labels)
+
+  def test_6by2_matrix_eigengap_normalizeddiff(self):
+    clusterer = SpectralClusterer(
+        refinement_options=_refinement_options(),
+        eigengap_type=EigenGapType.NormalizedDiff)
+    labels = utils.enforce_ordered_labels(clusterer.predict(MATRIX_6x2))
+    np.testing.assert_equal(EXPECTED_6x2, labels)
+
+  def test_6by2_matrix_normalized_laplacian(self):
+    clusterer = SpectralClusterer(
+        min_clusters=2,
+        refinement_options=_refinement_options(),
+        laplacian_type=LaplacianType.GraphCut,
+        row_wise_renorm=True)
+    labels = utils.enforce_ordered_labels(clusterer.predict(MATRIX_6x2))
+    np.testing.assert_equal(EXPECTED_6x2, labels)
+
+  def test_6by2_matrix_random_walk_laplacian(self):
+    clusterer = SpectralClusterer(
+        min_clusters=2,
+        refinement_options=_refinement_options(),
+        laplacian_type=LaplacianType.RandomWalk,
+        row_wise_renorm=True)
+    labels = utils.enforce_ordered_labels(clusterer.predict(MATRIX_6x2))
+    np.testing.assert_equal(EXPECTED_6x2, labels)
+
+  def test_6by2_matrix_unnormalized_laplacian(self):
+    clusterer = SpectralClusterer(
+        min_clusters=2,
+        refinement_options=_refinement_options(),
+        laplacian_type=LaplacianType.Unnormalized,
+        row_wise_renorm=True)
+    labels = utils.enforce_ordered_labels(clusterer.predict(MATRIX_6x2))
+    np.testing.assert_equal(EXPECTED_6x2, labels)
+
+  def test_min_max_clusters_fixed(self):
+    # min_clusters == max_clusters pins the number of clusters.
+    clusterer = SpectralClusterer(
+        min_clusters=2, max_clusters=2,
+        refinement_options=_refinement_options())
+    labels = utils.enforce_ordered_labels(clusterer.predict(MATRIX_6x2))
+    np.testing.assert_equal(EXPECTED_6x2, labels)
+
+  def test_6by2_matrix_auto_tune(self):
+    refinement_options = RefinementOptions(
+        thresholding_type=ThresholdType.Percentile,
+        refinement_sequence=(RefinementName.RowWiseThreshold,))
+    at = AutoTune(p_percentile_min=0.60, p_percentile_max=0.95,
+                  init_search_step=0.05, search_level=1)
+    clusterer = SpectralClusterer(
+        max_clusters=2,
+        refinement_options=refinement_options,
+        autotune=at,
+        laplacian_type=LaplacianType.GraphCut,
+        row_wise_renorm=True)
+    labels = utils.enforce_ordered_labels(clusterer.predict(MATRIX_6x2))
+    np.testing.assert_equal(EXPECTED_6x2, labels)
+
+  def test_2by2_matrix_auto_tune(self):
+    matrix = np.array([[1.0, 0.0], [0.0, 1.0]])
+    refinement_options = RefinementOptions(
+        thresholding_type=ThresholdType.Percentile,
+        refinement_sequence=(RefinementName.RowWiseThreshold,))
+    at = AutoTune(p_percentile_min=0.60, p_percentile_max=0.95,
+                  init_search_step=0.05, search_level=1,
+                  proxy=AutoTuneProxy.PercentileOverNME)
+    clusterer = SpectralClusterer(
+        max_clusters=2,
+        refinement_options=refinement_options,
+        autotune=at,
+        fallback_options=FallbackOptions(spectral_min_embeddings=3),
+        laplacian_type=LaplacianType.GraphCut,
+        row_wise_renorm=True)
+    labels = utils.enforce_ordered_labels(clusterer.predict(matrix))
+    np.testing.assert_equal(np.array([0, 1]), labels)
+
+  def test_1000by6_matrix_auto_tune(self):
+    refinement_options = RefinementOptions(
+        thresholding_type=ThresholdType.Percentile,
+        refinement_sequence=(RefinementName.RowWiseThreshold,))
+    at = AutoTune(p_percentile_min=0.9, p_percentile_max=0.95,
+                  init_search_step=0.03, search_level=1)
+    clusterer = SpectralClusterer(
+        max_clusters=4,
+        refinement_options=refinement_options,
+        autotune=at,
+        laplacian_type=LaplacianType.GraphCut,
+        row_wise_renorm=True)
+    labels = utils.enforce_ordered_labels(clusterer.predict(_block_matrix()))
+    np.testing.assert_equal(EXPECTED_1000, labels)
+
+  def test_autotune_requires_threshold(self):
+    refinement_options = RefinementOptions(refinement_sequence=())
+    clusterer = SpectralClusterer(
+        refinement_options=refinement_options, autotune=AutoTune())
+    with pytest.raises(ValueError):
+      clusterer.predict(MATRIX_6x2)
+
+  def test_single_cluster_all_affinity(self):
+    tight = np.array([[1.0, 0.0], [1.0, 0.05], [0.99, -0.02], [1.02, 0.01]])
+    clusterer = SpectralClusterer(
+        min_clusters=1,
+        refinement_options=_refinement_options(),
+        fallback_options=FallbackOptions(
+            single_cluster_condition=SingleClusterCondition.AllAffinity,
+            single_cluster_affinity_threshold=0.75))
+    labels = clusterer.predict(tight)
+    np.testing.assert_equal(np.zeros(4), labels)
+
+  def test_fallback_spectral_min_embeddings(self):
+    clusterer = SpectralClusterer(
+        refinement_options=_refinement_options(),
+        fallback_options=FallbackOptions(spectral_min_embeddings=10))
+    labels = utils.enforce_ordered_labels(clusterer.predict(MATRIX_6x2))
+    np.testing.assert_equal(EXPECTED_6x2, labels)
+
+  def test_input_validation(self):
+    clusterer = SpectralClusterer(refinement_options=_refinement_options())
+    with pytest.raises(TypeError):
+      clusterer.predict([[1.0, 2.0]])
+    with pytest.raises(ValueError):
+      clusterer.predict(np.zeros(5))
+
+  def test_max_spectral_size_with_constraint_raises(self):
+    clusterer = SpectralClusterer(
+        refinement_options=_refinement_options(), max_spectral_size=4)
+    with pytest.raises(RuntimeError):
+      clusterer.predict(MATRIX_6x2, constraint_matrix=np.eye(6))
+
+  def test_max_spectral_size_too_small_raises(self):
+    clusterer = SpectralClusterer(
+        min_clusters=4,
+        refinement_options=_refinement_options(), max_spectral_size=4)
+    with pytest.raises(ValueError):
+      clusterer.predict(np.random.rand(10, 4))
+
+  def test_custom_affinity_function(self):
+    def affinity_fn(embeddings):
+      x = np.asarray(embeddings, dtype=np.float64)
+      x = x / np.linalg.norm(x, axis=1, keepdims=True)
+      return ((x @ x.T) + 1.0) / 2.0
+
+    clusterer = SpectralClusterer(
+        refinement_options=_refinement_options(),
+        affinity_function=affinity_fn)
+    labels = utils.enforce_ordered_labels(clusterer.predict(MATRIX_6x2))
+    np.testing.assert_equal(EXPECTED_6x2, labels)
+
+  def test_custom_post_eigen_cluster_function(self):
+    calls = {}
+
+    def post_fn(spectral_embeddings, n_clusters, custom_dist, max_iter):
+      calls["n_clusters"] = n_clusters
+      from spectralcluster_tpu.ops import kmeans
+      return kmeans.run_kmeans(spectral_embeddings, n_clusters, custom_dist,
+                               max_iter)
+
+    clusterer = SpectralClusterer(
+        refinement_options=_refinement_options(),
+        post_eigen_cluster_function=post_fn)
+    labels = utils.enforce_ordered_labels(clusterer.predict(MATRIX_6x2))
+    np.testing.assert_equal(EXPECTED_6x2, labels)
+    assert calls["n_clusters"] == 2
