@@ -1,0 +1,107 @@
+"""Multi-device tests on the 8-device CPU fake backend (SURVEY.md §4)."""
+
+import jax
+import numpy as np
+import pytest
+
+from spectralcluster_tpu import configs, pipeline, utils
+from spectralcluster_tpu.parallel import batch as batch_lib
+from spectralcluster_tpu.parallel import mesh as mesh_lib
+from spectralcluster_tpu.parallel import sharded as sharded_lib
+
+if len(jax.devices()) < 8:  # pragma: no cover
+  pytest.skip("needs 8 virtual devices", allow_module_level=True)
+
+
+def _cfg(max_clusters=4):
+  # gaussian_blur_sigma=0: with block-ordered synthetic fixtures the 2-D blur
+  # smears cluster boundaries into singleton clusters (reference behaves the
+  # same; its randomized tests also use sigma=0).
+  return pipeline.PipelineConfig(
+      refinement_options=configs.icassp2018_refinement_options().replace(
+          gaussian_blur_sigma=0),
+      min_clusters=2, max_clusters=max_clusters,
+      custom_dist="cosine", max_iter=30)
+
+
+def _utterance(rng, n, d=8, k=2, noise=0.05):
+  centers = np.eye(k, d) * 4.0
+  labels = np.repeat(np.arange(k), -(-n // k))[:n]
+  return centers[labels] + rng.randn(n, d) * noise, labels
+
+
+class TestMeshHelpers:
+
+  def test_make_mesh_shapes(self):
+    mesh = mesh_lib.make_mesh(dp=4, mp=2)
+    assert mesh.shape == {"batch": 4, "model": 2}
+    with pytest.raises(ValueError):
+      mesh_lib.make_mesh(dp=3, mp=2)
+
+
+class TestBatchDP:
+
+  def test_cluster_batch_matches_single(self):
+    import jax.numpy as jnp
+    rng = np.random.RandomState(0)
+    mesh = mesh_lib.make_mesh(dp=8, mp=1)
+    cfg = _cfg()
+    utts, trues = zip(*[_utterance(rng, 24) for _ in range(16)])
+    results = batch_lib.cluster_batch(list(utts), cfg, mesh=mesh)
+    assert len(results) == 16
+    for got, true in zip(results, trues):
+      got = utils.enforce_ordered_labels(got)
+      np.testing.assert_equal(utils.enforce_ordered_labels(true), got)
+    # Sharded-batch output must equal the single-device padded pipeline run
+    # with the same key and padding (sharding must not change results).
+    n_pad = pipeline.pad_bucket(24)
+    padded = np.zeros((n_pad, 8), np.float32)
+    padded[:24] = utts[0]
+    labels1, _, _, _ = jax.jit(
+        lambda e, k: pipeline.spectral_cluster_fixed_k(
+            e, k, cfg, None, jnp.asarray(24)))(
+                jnp.asarray(padded), jax.random.PRNGKey(0))
+    np.testing.assert_equal(
+        utils.enforce_ordered_labels(np.asarray(labels1)[:24]),
+        utils.enforce_ordered_labels(results[0]))
+
+  def test_variable_lengths(self):
+    rng = np.random.RandomState(1)
+    mesh = mesh_lib.make_mesh(dp=4, mp=2)
+    utts = [_utterance(rng, n)[0] for n in (16, 24, 32, 24, 16)]
+    results = batch_lib.cluster_batch(utts, _cfg(), mesh=mesh)
+    assert [r.shape[0] for r in results] == [16, 24, 32, 24, 16]
+
+
+class TestShardedLargeN:
+
+  def test_sharded_matches_unsharded_labels(self):
+    rng = np.random.RandomState(2)
+    mesh = mesh_lib.make_mesh(dp=1, mp=8)
+    x, true = _utterance(rng, 64, d=16, k=4, noise=0.05)
+    cfg = _cfg()
+    labels, n_clusters = sharded_lib.cluster_large_sharded(
+        x.astype(np.float32), cfg, mesh=mesh, num_iters=16)
+    assert n_clusters == 4
+    np.testing.assert_equal(utils.enforce_ordered_labels(true),
+                            utils.enforce_ordered_labels(labels))
+
+  def test_rejects_indivisible_n(self):
+    mesh = mesh_lib.make_mesh(dp=1, mp=8)
+    with pytest.raises(ValueError):
+      sharded_lib.cluster_large_sharded(
+          np.zeros((30, 8), np.float32), _cfg(), mesh=mesh)
+
+
+class TestGraftEntry:
+
+  def test_entry_compiles(self):
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    labels, n = jax.jit(fn)(*args)
+    assert labels.shape == (256,)
+    assert 2 <= int(n) <= 7
+
+  def test_dryrun_multichip(self):
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
