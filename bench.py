@@ -1,0 +1,94 @@
+"""Benchmark: end-to-end spectral clustering throughput vs the NumPy reference.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The headline metric is end-to-end icassp2018 clustering speedup at the
+largest measured size (d=256 synthetic 2-speaker embeddings) over the
+reference's NumPy/LAPACK pipeline on this host (recorded once into
+benchmarks/baseline_numpy.json by benchmarks/measure_numpy_baseline.py —
+the reference publishes no numbers of its own, SURVEY.md §6).
+
+Runs on whatever backend jax selects (the real TPU chip under the driver).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+from spectralcluster_tpu import configs, pipeline
+from spectralcluster_tpu.precision import precise
+
+BASELINE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "benchmarks", "baseline_numpy.json")
+
+
+def make_embeddings(n, d=256, k=2, seed=0):
+  rng = np.random.RandomState(seed)
+  centers = rng.randn(k, d) * 3
+  labels = np.repeat(np.arange(k), n // k)
+  return (centers[labels] + rng.randn(n, d) * 0.4).astype(np.float32)
+
+
+def bench_once(n, repeats=3):
+  cfg = pipeline.PipelineConfig(
+      refinement_options=configs.icassp2018_refinement_options(),
+      min_clusters=2, max_clusters=7, custom_dist="cosine", max_iter=300)
+  x = jnp.asarray(make_embeddings(n))
+  key = jax.random.PRNGKey(0)
+
+  @precise
+  def run(emb):
+    labels, n_clusters, _, _ = pipeline.spectral_cluster_fixed_k(
+        emb, key, cfg)
+    return labels, n_clusters
+
+  fn = jax.jit(run)
+  t0 = time.time()
+  labels, n_clusters = jax.block_until_ready(fn(x))
+  compile_s = time.time() - t0
+  times = []
+  for _ in range(repeats):
+    t0 = time.time()
+    jax.block_until_ready(fn(x))
+    times.append(time.time() - t0)
+  return float(np.median(times)), compile_s, int(n_clusters)
+
+
+def main():
+  with open(BASELINE_PATH) as f:
+    baseline = json.load(f)["results"]
+  sizes = sorted(int(k) for k in baseline)
+  # Largest size with a recorded baseline.
+  n = sizes[-1]
+  try:
+    latency, compile_s, n_clusters = bench_once(n)
+  except Exception as e:  # pragma: no cover - fallback for memory limits
+    print(f"# fallback from N={n}: {e}", file=sys.stderr)
+    n = sizes[-2]
+    latency, compile_s, n_clusters = bench_once(n)
+  base_s = baseline[str(n)]["predict_s"]
+  speedup = base_s / latency
+  meta = {
+      "metric": f"icassp2018_e2e_speedup_vs_numpy_N{n}",
+      "value": round(speedup, 2),
+      "unit": "x",
+      "vs_baseline": round(speedup, 2),
+  }
+  print(json.dumps(meta))
+  print(f"# backend={jax.default_backend()} N={n} ours={latency:.3f}s "
+        f"numpy={base_s:.3f}s compile={compile_s:.1f}s "
+        f"n_clusters={n_clusters}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+  main()

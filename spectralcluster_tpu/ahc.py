@@ -23,11 +23,14 @@ import numpy as np
 _LINKAGES = ("complete", "average", "single")
 
 try:
-  from spectralcluster_tpu.native import ahc_native  # noqa: F401
-  _HAVE_NATIVE = ahc_native.available()
+  from spectralcluster_tpu.native import ahc_native
 except Exception:  # pragma: no cover - native build optional
   ahc_native = None
-  _HAVE_NATIVE = False
+
+
+def _native_ok() -> bool:
+  """Lazily build/load the C++ backend (first call may compile it)."""
+  return ahc_native is not None and ahc_native.available()
 
 
 def cosine_distance_matrix(embeddings: np.ndarray) -> np.ndarray:
@@ -63,7 +66,7 @@ def nn_chain_linkage(dist: np.ndarray,
   if linkage not in _LINKAGES:
     raise ValueError(f"Unsupported linkage {linkage!r}")
   n = dist.shape[0]
-  if _HAVE_NATIVE:
+  if _native_ok():
     return ahc_native.nn_chain_linkage(dist, linkage)
   d = np.array(dist, dtype=np.float64, copy=True)
   np.fill_diagonal(d, np.inf)
@@ -150,6 +153,9 @@ def ahc_labels(dist: np.ndarray,
   n = dist.shape[0]
   if n == 1:
     return np.zeros(1, dtype=np.int64)
+  if _native_ok() and not (n_clusters is not None and n_clusters >= n):
+    return ahc_native.ahc_labels(dist, linkage, n_clusters,
+                                 distance_threshold)
   merges = nn_chain_linkage(dist, linkage)
   # Stable sort by height = scipy/sklearn dendrogram order.
   order = np.argsort(merges[:, 2], kind="stable")

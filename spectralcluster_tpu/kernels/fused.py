@@ -1,0 +1,226 @@
+"""Pallas TPU kernels for the hot refinement-path ops.
+
+These fuse the bandwidth-bound elementwise/reduction stages of the pipeline
+so each N×N matrix crosses HBM once per fused stage instead of once per op:
+
+  * ``affinity_pallas`` — cosine affinity: row-normalized matmul on the MXU
+    with the (cos+1)/2 affine fused into the tile epilogue.
+  * ``row_max_pallas`` — tiled row-max reduction (optionally excluding the
+    diagonal), the reduction feeding CropDiagonal / RowWiseThreshold /
+    RowWiseNormalize.
+  * ``threshold_symmetrize_pallas`` — RowWiseThreshold(RowMax) +
+    Symmetrize(Max) in ONE pass: reads the (i,j) and (j,i) tiles, applies the
+    soft threshold to both, writes max of the two — eliminating the separate
+    transpose materialization.
+
+Each kernel has a jnp twin in ops/ (the source of truth for semantics);
+tests run the kernels in interpreter mode against the twins. The pipeline
+uses them only on TPU backends (pipeline.PipelineConfig.use_pallas).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _tile(n: int) -> int:
+  for t in (512, 256, 128):
+    if n % t == 0:
+      return t
+  return n  # small matrices: single tile
+
+
+# ---------------------------------------------------------------------------
+# Affinity
+# ---------------------------------------------------------------------------
+
+
+def _affinity_kernel(xn_ref, xnt_ref, out_ref):
+  dot = jnp.dot(xn_ref[:], xnt_ref[:], preferred_element_type=jnp.float32)
+  out_ref[:] = (dot + 1.0) * 0.5
+
+
+def affinity_pallas(embeddings: jnp.ndarray,
+                    interpret: bool = False) -> jnp.ndarray:
+  """Cosine affinity ((cos+1)/2) as a tiled MXU kernel."""
+  n, d = embeddings.shape
+  norms = jnp.linalg.norm(embeddings, axis=1, keepdims=True)
+  xn = embeddings / norms
+  t = _tile(n)
+  grid = (n // t, n // t)
+  return pl.pallas_call(
+      _affinity_kernel,
+      out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
+      grid=grid,
+      in_specs=[
+          pl.BlockSpec((t, d), lambda i, j: (i, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((d, t), lambda i, j: (0, j),
+                       memory_space=pltpu.VMEM),
+      ],
+      out_specs=pl.BlockSpec((t, t), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM),
+      interpret=interpret,
+  )(xn, xn.T)
+
+
+# ---------------------------------------------------------------------------
+# Row max (reduction over column tiles)
+# ---------------------------------------------------------------------------
+
+
+def _row_max_kernel(a_ref, out_ref, *, exclude_diagonal, t):
+  i = pl.program_id(0)
+  j = pl.program_id(1)
+  a = a_ref[:]
+  if exclude_diagonal:
+    rows = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0) + i * t
+    cols = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1) + j * t
+    a = jnp.where(rows == cols, -jnp.inf, a)
+  tile_max = jnp.max(a, axis=1, keepdims=True)
+
+  @pl.when(j == 0)
+  def _():
+    out_ref[:] = tile_max
+
+  @pl.when(j > 0)
+  def _():
+    out_ref[:] = jnp.maximum(out_ref[:], tile_max)
+
+
+def row_max_pallas(mat: jnp.ndarray, exclude_diagonal: bool = False,
+                   interpret: bool = False) -> jnp.ndarray:
+  """Row maxima of a square matrix, tiled; returns shape (N, 1)."""
+  n = mat.shape[0]
+  t = _tile(n)
+  grid = (n // t, n // t)
+  out = pl.pallas_call(
+      functools.partial(_row_max_kernel, exclude_diagonal=exclude_diagonal,
+                        t=t),
+      out_shape=jax.ShapeDtypeStruct((n, 1), jnp.float32),
+      grid=grid,
+      in_specs=[pl.BlockSpec((t, t), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM)],
+      out_specs=pl.BlockSpec((t, 1), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+      interpret=interpret,
+  )(mat)
+  return out
+
+
+# ---------------------------------------------------------------------------
+# Fused RowWiseThreshold(RowMax) + Symmetrize(Max)
+# ---------------------------------------------------------------------------
+
+
+def _thresh_sym_kernel(a_ref, at_ref, rmax_ref, cmax_ref, out_ref, *,
+                       p_percentile, multiplier, binarize):
+  a = a_ref[:]            # tile (i, j) of A
+  at = at_ref[:]          # tile (i, j) of A^T  == A[j, i]^T
+  rmax = rmax_ref[:]      # (t, 1) row maxima for rows of this tile
+  cmax = cmax_ref[:]      # (1, t) row maxima for the *columns* (rows of A^T)
+
+  def thresh(x, m):
+    is_smaller = x < m * p_percentile
+    if binarize:
+      return jnp.where(is_smaller, x * multiplier, 1.0)
+    return jnp.where(is_smaller, x * multiplier, x)
+
+  out_ref[:] = jnp.maximum(thresh(a, rmax), thresh(at, cmax))
+
+
+def threshold_symmetrize_pallas(mat: jnp.ndarray,
+                                row_max: jnp.ndarray,
+                                p_percentile: float,
+                                multiplier: float = 0.01,
+                                binarize: bool = False,
+                                interpret: bool = False) -> jnp.ndarray:
+  """max(T(A), T(A)^T) where T is row-max soft thresholding, one pass.
+
+  ``row_max`` is the (N, 1) row-maximum vector (from row_max_pallas).
+  """
+  n = mat.shape[0]
+  t = _tile(n)
+  grid = (n // t, n // t)
+  return pl.pallas_call(
+      functools.partial(_thresh_sym_kernel, p_percentile=p_percentile,
+                        multiplier=multiplier, binarize=binarize),
+      out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
+      grid=grid,
+      in_specs=[
+          pl.BlockSpec((t, t), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+          pl.BlockSpec((t, t), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+          pl.BlockSpec((t, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, t), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+      ],
+      out_specs=pl.BlockSpec((t, t), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM),
+      interpret=interpret,
+  )(mat, mat.T, row_max, row_max.T)
+
+
+# ---------------------------------------------------------------------------
+# Fused CropDiagonal apply (given off-diagonal row maxima)
+# ---------------------------------------------------------------------------
+
+
+def _crop_diag_kernel(a_ref, rmax_ref, out_ref, *, t):
+  i = pl.program_id(0)
+  j = pl.program_id(1)
+  a = a_ref[:]
+  rows = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0) + i * t
+  cols = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1) + j * t
+  out_ref[:] = jnp.where(rows == cols, rmax_ref[:], a)
+
+
+def crop_diagonal_pallas(mat: jnp.ndarray, interpret: bool = False):
+  """CropDiagonal: diag <- max of off-diagonal row values (two tiled passes)."""
+  n = mat.shape[0]
+  t = _tile(n)
+  rmax = row_max_pallas(mat, exclude_diagonal=True, interpret=interpret)
+  grid = (n // t, n // t)
+  return pl.pallas_call(
+      functools.partial(_crop_diag_kernel, t=t),
+      out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
+      grid=grid,
+      in_specs=[
+          pl.BlockSpec((t, t), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+          pl.BlockSpec((t, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+      ],
+      out_specs=pl.BlockSpec((t, t), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM),
+      interpret=interpret,
+  )(mat, rmax)
+
+
+# ---------------------------------------------------------------------------
+# Fused RowWiseNormalize apply
+# ---------------------------------------------------------------------------
+
+
+def _row_norm_kernel(a_ref, rmax_ref, out_ref):
+  out_ref[:] = a_ref[:] / rmax_ref[:]
+
+
+def row_wise_normalize_pallas(mat: jnp.ndarray, interpret: bool = False):
+  n = mat.shape[0]
+  t = _tile(n)
+  rmax = row_max_pallas(mat, interpret=interpret)
+  grid = (n // t, n // t)
+  return pl.pallas_call(
+      _row_norm_kernel,
+      out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
+      grid=grid,
+      in_specs=[
+          pl.BlockSpec((t, t), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+          pl.BlockSpec((t, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+      ],
+      out_specs=pl.BlockSpec((t, t), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM),
+      interpret=interpret,
+  )(mat, rmax)

@@ -172,18 +172,61 @@ def apply_refinement_op(mat: jnp.ndarray,
   raise ValueError(f"Unknown refinement operation: {name}")
 
 
+def _pallas_applicable(mat: jnp.ndarray) -> bool:
+  """Pallas fusion is worth it (and tileable) only for larger matrices on TPU."""
+  import jax
+  return jax.default_backend() == "tpu" and mat.shape[0] >= 256
+
+
 def apply_refinement_sequence(
     mat: jnp.ndarray,
     options: RefinementOptions,
     sequence: typing.Optional[typing.Sequence[RefinementName]] = None,
     p_percentile=None,
-    n_valid=None) -> jnp.ndarray:
-  """Apply a full refinement sequence (composed and fused at trace time)."""
-  seq = options.refinement_sequence if sequence is None else sequence
+    n_valid=None,
+    use_pallas: bool = False) -> jnp.ndarray:
+  """Apply a full refinement sequence (composed and fused at trace time).
+
+  With ``use_pallas`` (TPU only), bandwidth-bound stages are replaced by the
+  fused Pallas kernels in kernels/fused.py where the op pattern allows:
+  CropDiagonal, and RowWiseThreshold(RowMax)+Symmetrize(Max) as one pass.
+  Semantics are identical (tested against these jnp twins); AutoTune's traced
+  p_percentile and the preserve-diagonal/percentile variants fall back to the
+  jnp path.
+  """
+  seq = tuple(options.refinement_sequence if sequence is None else sequence)
   if not seq:
     return mat
-  for name in seq:
+  pallas_ok = use_pallas and _pallas_applicable(mat)
+  if pallas_ok:
+    from spectralcluster_tpu.kernels import fused as fused_kernels
+  i = 0
+  while i < len(seq):
+    name = seq[i]
+    p_concrete = (p_percentile is None and
+                  not hasattr(options.p_percentile, "aval"))
+    if (pallas_ok and name == RefinementName.RowWiseThreshold
+        and i + 1 < len(seq) and seq[i + 1] == RefinementName.Symmetrize
+        and options.thresholding_type == ThresholdType.RowMax
+        and not options.thresholding_preserve_diagonal
+        and options.symmetrize_type == SymmetrizeType.Max and p_concrete):
+      rmax = fused_kernels.row_max_pallas(mat)
+      mat = fused_kernels.threshold_symmetrize_pallas(
+          mat, rmax, float(options.p_percentile),
+          options.thresholding_soft_multiplier,
+          options.thresholding_with_binarization)
+      if options.thresholding_with_binarization:
+        mat = mask_padding(mat, n_valid)
+      i += 2
+      continue
+    if pallas_ok and name == RefinementName.CropDiagonal:
+      # Safe under zero-padding for the non-negative matrices of the
+      # affinity pipeline (padded rows/cols stay 0).
+      mat = fused_kernels.crop_diagonal_pallas(mat)
+      i += 1
+      continue
     mat = apply_refinement_op(mat, name, options, p_percentile, n_valid)
+    i += 1
   return mat
 
 

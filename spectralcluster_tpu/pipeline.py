@@ -77,6 +77,9 @@ class PipelineConfig:
   # the eigengap scan (float32 noise at structural zeros otherwise flips the
   # Ratio eigengap's sign; see ops/eigen.py snap_small_eigenvalues).
   eigenvalue_snap_tol: float = 1e-5
+  # Use the fused Pallas kernels (kernels/fused.py) for the hot refinement
+  # stages on TPU backends; falls back to jnp where patterns don't apply.
+  use_pallas: bool = True
 
   def replace(self, **kw) -> "PipelineConfig":
     return dataclasses.replace(self, **kw)
@@ -139,21 +142,25 @@ def refine_and_eigendecompose(
 
   def apply_seq(mat, names):
     return refinement_ops.apply_refinement_sequence(
-        mat, ropts, sequence=names, p_percentile=p_percentile, n_valid=n_valid)
+        mat, ropts, sequence=names, p_percentile=p_percentile, n_valid=n_valid,
+        use_pallas=cfg.use_pallas)
 
   if (structure == refinement_ops.ROWNORM_TAIL and
       cfg.eigensolver in (EigenSolver.Auto, EigenSolver.Eigh)):
     # A = D_r^{-1} S with S symmetric: eigh on D_r^{-1/2} S D_r^{-1/2}.
-    s = apply_seq(affinity, seq[:-1])
+    with jax.named_scope("refinement"):
+      s = apply_seq(affinity, seq[:-1])
     d = refinement_ops.row_max_scale(s, n_valid)
     inv_sqrt = 1.0 / jnp.sqrt(d)
     m = inv_sqrt[:, None] * s * inv_sqrt[None, :]
     if n_valid is not None:
       m = eigen_ops.apply_padding_sentinels(m, n_valid, descend)
-    eigenvalues, eigenvectors = eigen_ops.sorted_eigh_similarity(
-        m, inv_sqrt, descend=descend, n_valid=n_valid)
+    with jax.named_scope("eigh"):
+      eigenvalues, eigenvectors = eigen_ops.sorted_eigh_similarity(
+          m, inv_sqrt, descend=descend, n_valid=n_valid)
   else:
-    refined = apply_seq(affinity, seq)
+    with jax.named_scope("refinement"):
+      refined = apply_seq(affinity, seq)
     if constraint_after:
       refined = constraint_lib.adjust_affinity(
           refined, constraint_matrix, cfg.constraint_options, n_valid)
@@ -173,8 +180,9 @@ def refine_and_eigendecompose(
             refined, cfg.laplacian_type, n_valid=n_valid)
       if n_valid is not None:
         m = eigen_ops.apply_padding_sentinels(m, n_valid, descend)
-      eigenvalues, eigenvectors = eigen_ops.sorted_eigh_similarity(
-          m, scale, descend=descend, n_valid=n_valid)
+      with jax.named_scope("eigh"):
+        eigenvalues, eigenvectors = eigen_ops.sorted_eigh_similarity(
+            m, scale, descend=descend, n_valid=n_valid)
 
   eigenvalues = eigen_ops.snap_small_eigenvalues(
       eigenvalues, n_valid=n_valid, tol=cfg.eigenvalue_snap_tol)
@@ -196,8 +204,14 @@ def prepare_affinity(
     affinity_function: typing.Optional[typing.Callable] = None,
 ) -> jnp.ndarray:
   """Affinity construction + constraint-before-refinement, masked."""
-  fn = affinity_function or affinity_ops.compute_affinity_matrix
-  affinity = fn(embeddings)
+  if affinity_function is not None:
+    affinity = affinity_function(embeddings)
+  elif (cfg.use_pallas and refinement_ops._pallas_applicable(embeddings)
+        and embeddings.shape[1] % 128 == 0):
+    from spectralcluster_tpu.kernels import fused as fused_kernels
+    affinity = fused_kernels.affinity_pallas(embeddings)
+  else:
+    affinity = affinity_ops.compute_affinity_matrix(embeddings)
   affinity = refinement_ops.mask_padding(affinity, n_valid)
   if (constraint_matrix is not None and cfg.constraint_options is not None and
       cfg.constraint_options.apply_before_refinement):
@@ -249,7 +263,8 @@ def spectral_cluster_fixed_k(
         "spectral_cluster_fixed_k requires max_clusters (static k cap); "
         "use the host-orchestrated SpectralClusterer for unbounded k.")
   n = embeddings.shape[0]
-  affinity = prepare_affinity(embeddings, cfg, constraint_matrix, n_valid)
+  with jax.named_scope("affinity"):
+    affinity = prepare_affinity(embeddings, cfg, constraint_matrix, n_valid)
   eigenvalues, eigenvectors, n_gap, max_delta = refine_and_eigendecompose(
       affinity, cfg, p_percentile=None, constraint_matrix=constraint_matrix,
       n_valid=n_valid)
@@ -263,10 +278,11 @@ def spectral_cluster_fixed_k(
     weight = jnp.ones((n,), dtype=emb.dtype)
   else:
     weight = (jnp.arange(n) < n_valid).astype(emb.dtype)
-  labels = kmeans_ops.kmeans_fit(
-      emb, n_clusters, key, custom_dist=cfg.custom_dist,
-      max_iter=cfg.max_iter, tol=kmeans_tol, k_max=k_max,
-      sample_weight=weight)
+  with jax.named_scope("kmeans"):
+    labels = kmeans_ops.kmeans_fit(
+        emb, n_clusters, key, custom_dist=cfg.custom_dist,
+        max_iter=cfg.max_iter, tol=kmeans_tol, k_max=k_max,
+        sample_weight=weight)
   labels = jnp.where(jnp.arange(n) < (n_valid if n_valid is not None else n),
                      labels, 0)
   return labels, n_clusters, eigenvalues, max_delta

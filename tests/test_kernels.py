@@ -1,0 +1,77 @@
+"""Pallas kernels vs their jnp twins (interpreter mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spectralcluster_tpu.kernels import fused
+from spectralcluster_tpu.ops import affinity as affinity_ops
+from spectralcluster_tpu.ops import refinement as ref_ops
+from spectralcluster_tpu.types import SymmetrizeType, ThresholdType
+
+
+def _mat(n=256, seed=0):
+  rng = np.random.RandomState(seed)
+  x = rng.rand(n, n).astype(np.float32)
+  return jnp.asarray(x)
+
+
+class TestAffinityKernel:
+
+  @pytest.mark.parametrize("n,d", [(256, 64), (128, 32)])
+  def test_matches_jnp(self, n, d):
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(n, d), jnp.float32)
+    ours = fused.affinity_pallas(x, interpret=True)
+    ref = affinity_ops.compute_affinity_matrix(x)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
+
+
+class TestRowMaxKernel:
+
+  def test_matches_jnp(self):
+    a = _mat()
+    out = fused.row_max_pallas(a, interpret=True)
+    np.testing.assert_allclose(np.asarray(out)[:, 0],
+                               np.max(np.asarray(a), axis=1), atol=1e-6)
+
+  def test_exclude_diagonal(self):
+    a = _mat(128)
+    out = fused.row_max_pallas(a, exclude_diagonal=True, interpret=True)
+    an = np.asarray(a).copy()
+    np.fill_diagonal(an, -np.inf)
+    np.testing.assert_allclose(np.asarray(out)[:, 0], an.max(axis=1),
+                               atol=1e-6)
+
+
+class TestCropDiagonalKernel:
+
+  def test_matches_jnp(self):
+    a = _mat(128)
+    ours = fused.crop_diagonal_pallas(a, interpret=True)
+    ref = ref_ops.crop_diagonal(a)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-6)
+
+
+class TestThresholdSymmetrizeKernel:
+
+  @pytest.mark.parametrize("binarize", [False, True])
+  def test_matches_jnp(self, binarize):
+    a = _mat(128, seed=1)
+    rmax = fused.row_max_pallas(a, interpret=True)
+    ours = fused.threshold_symmetrize_pallas(
+        a, rmax, p_percentile=0.6, multiplier=0.01, binarize=binarize,
+        interpret=True)
+    thresholded = ref_ops.row_wise_threshold(
+        a, 0.6, 0.01, ThresholdType.RowMax, with_binarization=binarize)
+    ref = ref_ops.symmetrize(thresholded, SymmetrizeType.Max)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-6)
+
+
+class TestRowNormalizeKernel:
+
+  def test_matches_jnp(self):
+    a = _mat(128, seed=2)
+    ours = fused.row_wise_normalize_pallas(a, interpret=True)
+    ref = ref_ops.row_wise_normalize(a)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-6)
