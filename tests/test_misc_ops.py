@@ -1,0 +1,149 @@
+"""Coverage for the remaining ops: GMM, Hungarian, quantiles, distances,
+eigensolver options, subspace iteration.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spectralcluster_tpu.hungarian import linear_sum_assignment
+from spectralcluster_tpu.ops import affinity as affinity_ops
+from spectralcluster_tpu.ops import eigen as eigen_ops
+from spectralcluster_tpu.ops import gmm as gmm_ops
+from spectralcluster_tpu.ops import quantile as quantile_ops
+
+
+class TestGmmBic:
+
+  def test_unimodal_prefers_one_component(self):
+    rng = np.random.RandomState(0)
+    x = rng.randn(500) * 0.1 + 1.0
+    assert gmm_ops.gmm_bic_1d(x, 1) < gmm_ops.gmm_bic_1d(x, 2)
+
+  def test_bimodal_prefers_two_components(self):
+    rng = np.random.RandomState(0)
+    x = np.concatenate([rng.randn(250) * 0.1, rng.randn(250) * 0.1 + 5.0])
+    assert gmm_ops.gmm_bic_1d(x, 2) < gmm_ops.gmm_bic_1d(x, 1)
+
+  def test_matches_sklearn_decision(self):
+    from sklearn.mixture import GaussianMixture
+    rng = np.random.RandomState(3)
+    for offset in (0.0, 0.5, 3.0):
+      x = np.concatenate([rng.randn(200) * 0.2,
+                          rng.randn(200) * 0.2 + offset])
+      ours = gmm_ops.gmm_bic_1d(x, 1) < gmm_ops.gmm_bic_1d(x, 2)
+      xs = x.reshape(-1, 1)
+      skl = (GaussianMixture(1, random_state=0).fit(xs).bic(xs) <
+             GaussianMixture(2, random_state=0).fit(xs).bic(xs))
+      assert ours == skl, f"offset={offset}"
+
+
+class TestHungarian:
+
+  def test_matches_scipy(self):
+    from scipy.optimize import linear_sum_assignment as scipy_lsa
+    rng = np.random.RandomState(0)
+    for trial in range(20):
+      n = rng.randint(1, 8)
+      m = rng.randint(n, 10)
+      cost = rng.rand(n, m)
+      for maximize in (False, True):
+        r1, c1 = linear_sum_assignment(cost, maximize=maximize)
+        r2, c2 = scipy_lsa(cost, maximize=maximize)
+        v1 = cost[r1, c1].sum()
+        v2 = cost[r2, c2].sum()
+        np.testing.assert_allclose(v1, v2, atol=1e-9)
+
+  def test_transposed(self):
+    cost = np.array([[1.0, 2.0], [3.0, 1.0], [2.0, 2.0]])  # 3x2
+    r, c = linear_sum_assignment(cost)
+    assert len(r) == 2
+    from scipy.optimize import linear_sum_assignment as scipy_lsa
+    r2, c2 = scipy_lsa(cost)
+    np.testing.assert_allclose(cost[r, c].sum(), cost[r2, c2].sum())
+
+  def test_bad_input(self):
+    with pytest.raises(ValueError):
+      linear_sum_assignment(np.zeros(3))
+
+
+class TestQuantiles:
+
+  def test_matches_numpy_percentile(self):
+    rng = np.random.RandomState(0)
+    a = rng.rand(20, 37)
+    for q in (0.0, 0.25, 0.5, 0.77, 0.95, 1.0):
+      ours = np.asarray(quantile_ops.row_quantile(jnp.asarray(a), q))
+      ref = np.percentile(a, q * 100, axis=1)
+      np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+  def test_vector_q(self):
+    rng = np.random.RandomState(1)
+    a = rng.rand(10, 20)
+    qs = np.array([0.2, 0.6, 0.9])
+    ours = np.asarray(quantile_ops.row_quantile(jnp.asarray(a), qs))
+    assert ours.shape == (3, 10)
+    for i, q in enumerate(qs):
+      np.testing.assert_allclose(ours[i], np.percentile(a, q * 100, axis=1),
+                                 atol=1e-6)
+
+  def test_masked_matches(self):
+    rng = np.random.RandomState(2)
+    a = rng.rand(5, 13)
+    padded = np.zeros((5, 32))
+    padded[:, :13] = a
+    sr = quantile_ops.sort_rows_masked(jnp.asarray(padded), 13)
+    ours = np.asarray(
+        quantile_ops.quantile_from_sorted_masked(sr, 0.66, 13))
+    np.testing.assert_allclose(ours, np.percentile(a, 66, axis=1), atol=1e-5)
+
+
+class TestDistances:
+
+  @pytest.mark.parametrize("metric", [
+      "cosine", "euclidean", "sqeuclidean", "cityblock", "chebyshev",
+      "correlation", "braycurtis", "canberra", "mahalanobis"
+  ])
+  def test_matches_scipy_cdist(self, metric):
+    from scipy.spatial.distance import cdist
+    rng = np.random.RandomState(0)
+    x = rng.randn(12, 5)
+    y = rng.randn(7, 5)
+    fn = affinity_ops.get_distance_fn(metric)
+    ours = np.asarray(fn(jnp.asarray(x, jnp.float32),
+                         jnp.asarray(y, jnp.float32)))
+    ref = cdist(x, y, metric=metric)
+    np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+  def test_unknown_metric_raises(self):
+    with pytest.raises(ValueError):
+      affinity_ops.get_distance_fn("nope")
+    with pytest.raises(TypeError):
+      affinity_ops.get_distance_fn(123)
+
+
+class TestSubspaceIteration:
+
+  def test_largest_matches_eigh(self):
+    rng = np.random.RandomState(0)
+    a = rng.randn(64, 64)
+    m = jnp.asarray(a @ a.T, jnp.float32)
+    w, v = eigen_ops.topk_eigh_subspace(m, 5, jax.random.PRNGKey(0),
+                                        num_iters=30)
+    w_full = np.linalg.eigvalsh(np.asarray(m))[::-1]
+    np.testing.assert_allclose(np.asarray(w), w_full[:5], rtol=1e-3)
+    # Residual check.
+    res = np.asarray(m) @ np.asarray(v) - np.asarray(v) * np.asarray(w)
+    assert np.abs(res).max() < 1e-2
+
+  def test_smallest_matches_eigh(self):
+    rng = np.random.RandomState(1)
+    a = rng.randn(64, 16).astype(np.float32)
+    lap = jnp.asarray(np.diag((a @ a.T).sum(1)) - a @ a.T)
+    lap = 0.5 * (lap + lap.T)
+    w, _ = eigen_ops.topk_eigh_subspace(lap, 4, jax.random.PRNGKey(1),
+                                        num_iters=40, largest=False)
+    w_full = np.linalg.eigvalsh(np.asarray(lap))
+    np.testing.assert_allclose(np.asarray(w), w_full[:4],
+                               rtol=1e-2, atol=1e-2)

@@ -105,3 +105,18 @@ class TestGraftEntry:
   def test_dryrun_multichip(self):
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+class TestRingAffinity:
+
+  def test_matches_dense(self):
+    import jax.numpy as jnp
+
+    from spectralcluster_tpu.ops import affinity as affinity_ops
+    from spectralcluster_tpu.parallel import ring
+    rng = np.random.RandomState(0)
+    mesh = mesh_lib.make_mesh(dp=1, mp=8)
+    x = jnp.asarray(rng.randn(64, 16), jnp.float32)
+    out = ring.ring_affinity(x, mesh)
+    ref = affinity_ops.compute_affinity_matrix(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
