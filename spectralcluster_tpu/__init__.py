@@ -15,7 +15,9 @@ from spectralcluster_tpu.ahc import agglomerative_cluster
 from spectralcluster_tpu.autotune import AutoTune
 from spectralcluster_tpu.clusterer import SpectralClusterer
 from spectralcluster_tpu.constraint import ConstraintMatrix
-from spectralcluster_tpu.fallback import FallbackClusterer, NaiveClusterer
+from spectralcluster_tpu.fallback import (FallbackClusterer, NaiveClusterer,
+                                           check_single_cluster)
+from spectralcluster_tpu.ops.kmeans import CustomKMeans, run_kmeans
 from spectralcluster_tpu.pipeline import PipelineConfig, spectral_cluster_fixed_k
 from spectralcluster_tpu.streaming import MultiStageClusterer, match_labels
 from spectralcluster_tpu.types import (AutoTuneProxy, ClusterResult,
@@ -42,7 +44,8 @@ __all__ = [
     "MultiStageClusterer", "NaiveClusterer", "PipelineConfig",
     "RefinementName", "RefinementOptions", "SingleClusterCondition",
     "SpectralClusterer", "SymmetrizeType", "ThresholdType",
-    "agglomerative_cluster", "chain_labels", "configs",
+    "CustomKMeans", "agglomerative_cluster", "chain_labels",
+    "check_single_cluster", "configs", "run_kmeans",
     "enforce_ordered_labels", "get_cluster_centroids", "match_labels",
     "spectral_cluster_fixed_k",
     "ICASSP2018_REFINEMENT_SEQUENCE", "TURNTODIARIZE_REFINEMENT_SEQUENCE",

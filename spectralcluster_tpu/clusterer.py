@@ -150,6 +150,29 @@ class SpectralClusterer:
         lambda a, n, ps: jax.vmap(lambda p: one(a, n, None, p))(ps))
 
   @staticmethod
+  @functools.lru_cache(maxsize=64)
+  def _fast_fn(cfg: pipeline_lib.PipelineConfig):
+    """Single-dispatch fully-jitted predict (embeddings → labels).
+
+    Used when no host-side stage (autotune memoization, constraint handling,
+    injected callables, single-cluster check) sits in the middle — one device
+    round-trip instead of three, which dominates streaming throughput.
+    """
+
+    def run(embeddings, n_valid, key):
+      return pipeline_lib.spectral_cluster_fixed_k(
+          embeddings, key, cfg, None, n_valid)
+
+    return precise_jit(run)
+
+  def _fast_path_applicable(self, constraint_matrix) -> bool:
+    return (self.autotune is None and constraint_matrix is None
+            and self.max_clusters is not None
+            and self.affinity_function is None
+            and self.post_eigen_cluster_function is None
+            and self.min_clusters != 1)
+
+  @staticmethod
   def _pad_square(mat: np.ndarray) -> typing.Tuple[jnp.ndarray, int]:
     n = mat.shape[0]
     b = pipeline_lib.pad_bucket(n)
@@ -249,6 +272,21 @@ class SpectralClusterer:
                            n_clusters=int(np.unique(labels).size))
 
     cfg = self._config()
+
+    # Fast path: the whole pipeline in one compiled dispatch.
+    if self._fast_path_applicable(constraint_matrix):
+      n_pad = pipeline_lib.pad_bucket(num_embeddings)
+      x = np.zeros((n_pad, embeddings.shape[1]), dtype=np.float32)
+      x[:num_embeddings] = embeddings
+      labels, n_clusters, eigenvalues, max_delta = self._fast_fn(cfg)(
+          jnp.asarray(x), jnp.asarray(num_embeddings, jnp.int32),
+          jax.random.PRNGKey(self.seed))
+      return ClusterResult(
+          labels=np.asarray(labels)[:num_embeddings],
+          n_clusters=int(n_clusters),
+          eigenvalues=np.asarray(eigenvalues)[:num_embeddings],
+          max_delta_norm=float(max_delta))
+
     if self.affinity_function is None:
       affinity = np.asarray(
           _AFFINITY_JIT(jnp.asarray(embeddings, dtype=jnp.float32)))

@@ -207,6 +207,61 @@ def kmeans_fit(
   return labels
 
 
+class CustomKMeans:
+  """API-parity shell for the reference's CustomKMeans dataclass
+  (custom_distance_kmeans.py:55-141): hold config + optional initial
+  centroids, cluster with .predict(). Backed by the compiled Lloyd loop.
+  """
+
+  def __init__(self,
+               n_clusters: typing.Optional[int] = None,
+               centroids=None,
+               max_iter: int = 10,
+               tol: float = 0.001,
+               custom_dist: typing.Union[str, typing.Callable] = "cosine",
+               seed: int = 0):
+    self.n_clusters = n_clusters
+    self.centroids = centroids
+    self.max_iter = max_iter
+    self.tol = tol
+    self.custom_dist = custom_dist
+    self.seed = seed
+
+  def predict(self, embeddings):
+    import numpy as np
+    x = jnp.asarray(embeddings, jnp.float32)
+    n_samples = x.shape[0]
+    if self.max_iter <= 0:
+      raise ValueError("Number of iterations should be a positive number,"
+                       " got %d instead" % self.max_iter)
+    if n_samples < self.n_clusters:
+      raise ValueError("n_samples=%d should be >= n_clusters=%d" %
+                       (n_samples, self.n_clusters))
+    if self.centroids is None:
+      # Reference uses unseeded random choice here; we use a seeded draw.
+      key = jax.random.PRNGKey(self.seed)
+      idx = jax.random.choice(key, n_samples, (self.n_clusters,),
+                              replace=False)
+      centroids = x[idx]
+    else:
+      centroids = jnp.asarray(self.centroids, jnp.float32)
+      if centroids.shape[0] != self.n_clusters:
+        raise ValueError("The shape of the initial centroids (%s)"
+                         "does not match the number of clusters %d" %
+                         (str(centroids.shape), self.n_clusters))
+      if centroids.shape[1] != x.shape[1]:
+        raise ValueError(
+            "The number of features of the initial centroids %d"
+            "does not match the number of features of the data %d." %
+            (centroids.shape[1], x.shape[1]))
+    dist_fn = affinity_ops.get_distance_fn(self.custom_dist)
+    labels, final = lloyd_iterations(
+        x, centroids, self.n_clusters, dist_fn, max_iter=self.max_iter,
+        tol=self.tol)
+    self.centroids = np.asarray(final)
+    return np.asarray(labels)
+
+
 @functools.lru_cache(maxsize=256)
 def _kmeans_jit(k_max: int, custom_dist, max_iter: int, tol: float):
   """Jitted kmeans_fit, cached per static configuration."""

@@ -1,8 +1,9 @@
-"""Label utilities: ordered relabeling, label chaining, centroids.
+"""Utility functions: affinity/eigen wrappers and label utilities.
 
-Host (numpy) versions mirror reference utils.py:133-206 exactly; jnp variants
-are provided for use inside jitted pipelines (first-appearance relabeling as a
-vectorized reduction instead of a Python dict loop).
+Mirrors the reference's ``utils`` module surface (utils.py) so reference
+users can port imports 1:1. The numerical functions are thin host-facing
+wrappers over the compiled ops in ops/ (numpy in / numpy out); label
+utilities are host numpy with jnp variants for use inside jitted pipelines.
 """
 
 from __future__ import annotations
@@ -11,6 +12,51 @@ import typing
 
 import jax.numpy as jnp
 import numpy as np
+
+from spectralcluster_tpu.types import EPS, EigenGapType  # noqa: F401 (re-export)
+
+
+def compute_affinity_matrix(embeddings: np.ndarray) -> np.ndarray:
+  """Cosine affinity in [0,1] (reference utils.py:20-41), computed on device."""
+  from spectralcluster_tpu.ops import affinity as affinity_ops
+  return np.asarray(affinity_ops.compute_affinity_matrix(
+      jnp.asarray(embeddings, jnp.float32)))
+
+
+def compute_sorted_eigenvectors(
+    input_matrix: np.ndarray,
+    descend: bool = True) -> typing.Tuple[np.ndarray, np.ndarray]:
+  """Sorted eigendecomposition (reference utils.py:44-71).
+
+  Symmetric inputs use the device eigh; asymmetric inputs fall back to the
+  host general solver (LAPACK has no TPU lowering — the compiled pipelines
+  avoid this case entirely via similarity transforms, see ops/eigen.py).
+  """
+  from spectralcluster_tpu.ops import eigen as eigen_ops
+  m = np.asarray(input_matrix, dtype=np.float64)
+  if np.allclose(m, m.T, atol=1e-12):
+    w, v = eigen_ops.sorted_eigh(jnp.asarray(m, jnp.float32), descend=descend)
+    return np.asarray(w), np.asarray(v)
+  w, v = np.linalg.eig(m)
+  w, v = w.real, v.real
+  order = np.argsort(-w if descend else w)
+  return w[order], v[:, order]
+
+
+def compute_number_of_clusters(
+    eigenvalues: np.ndarray,
+    max_clusters: typing.Optional[int] = None,
+    stop_eigenvalue: float = 1e-2,
+    eigengap_type: EigenGapType = EigenGapType.Ratio,
+    descend: bool = True,
+    eps: float = EPS) -> typing.Tuple[int, float]:
+  """Eigengap cluster-count selection (reference utils.py:74-130)."""
+  from spectralcluster_tpu.ops import eigen as eigen_ops
+  n, gap = eigen_ops.compute_number_of_clusters(
+      jnp.asarray(eigenvalues), max_clusters=max_clusters,
+      stop_eigenvalue=stop_eigenvalue, eigengap_type=eigengap_type,
+      descend=descend, eps=eps)
+  return int(n), float(gap)
 
 
 def enforce_ordered_labels(labels: np.ndarray) -> np.ndarray:

@@ -107,3 +107,28 @@ class TestMaskedKmeans:
                                k_max=2, sample_weight=w)
     got = utils.enforce_ordered_labels(np.asarray(labels)[:6])
     np.testing.assert_equal(np.array([0, 0, 1, 1, 0, 1]), got)
+
+
+class TestCustomKMeansClass:
+
+  def test_with_given_centroids(self):
+    km = kmeans.CustomKMeans(n_clusters=2,
+                             centroids=MATRIX_6x2[[0, 2]].astype(np.float32),
+                             max_iter=10, custom_dist="cosine")
+    labels = utils.enforce_ordered_labels(km.predict(MATRIX_6x2))
+    np.testing.assert_equal(np.array([0, 0, 1, 1, 0, 1]), labels)
+
+  def test_random_init(self):
+    km = kmeans.CustomKMeans(n_clusters=2, max_iter=10, custom_dist="cosine")
+    labels = km.predict(MATRIX_6x2)
+    assert labels.shape == (6,)
+
+  def test_validation(self):
+    import pytest
+    with pytest.raises(ValueError):
+      kmeans.CustomKMeans(n_clusters=2, max_iter=0).predict(MATRIX_6x2)
+    with pytest.raises(ValueError):
+      kmeans.CustomKMeans(n_clusters=10).predict(MATRIX_6x2)
+    with pytest.raises(ValueError):
+      kmeans.CustomKMeans(n_clusters=2,
+                          centroids=np.zeros((3, 2))).predict(MATRIX_6x2)
