@@ -24,6 +24,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache: cold compiles through this environment's
+# remote-compile tunnel take minutes and scale with N; cached reruns are
+# instant.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 from spectralcluster_tpu import configs, pipeline
 from spectralcluster_tpu.precision import precise
 
@@ -68,8 +76,13 @@ def main():
   with open(BASELINE_PATH) as f:
     baseline = json.load(f)["results"]
   sizes = sorted(int(k) for k in baseline)
-  # Largest size with a recorded baseline.
-  n = sizes[-1]
+  # Default N=2048: largest size whose cold XLA compile (~2 min through this
+  # environment's remote-compile tunnel) fits a bench budget; N=4096 compiles
+  # exceed 10 min cold, N=10240 tens of minutes (NumPy baselines: 63s / 851s —
+  # override with SCT_BENCH_N once the compile cache is warm).
+  n = int(os.environ.get("SCT_BENCH_N", 2048))
+  if n not in sizes:
+    n = sizes[-1]
   try:
     latency, compile_s, n_clusters = bench_once(n)
   except Exception as e:  # pragma: no cover - fallback for memory limits

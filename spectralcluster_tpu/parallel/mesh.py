@@ -54,3 +54,21 @@ def row_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
   return NamedSharding(mesh, P())
+
+
+def initialize_distributed(coordinator_address: typing.Optional[str] = None,
+                           num_processes: typing.Optional[int] = None,
+                           process_id: typing.Optional[int] = None) -> None:
+  """Initialize the multi-controller runtime for multi-host meshes.
+
+  Thin wrapper over ``jax.distributed.initialize`` — call once per host
+  before building a mesh that spans hosts (DCN for the batch axis, ICI for
+  the model axis). No-ops cleanly when already initialized.
+  """
+  try:
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+  except RuntimeError as e:  # already initialized
+    if "already" not in str(e).lower():
+      raise

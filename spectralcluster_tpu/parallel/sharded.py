@@ -34,7 +34,20 @@ from spectralcluster_tpu.ops import laplacian as laplacian_ops
 from spectralcluster_tpu.ops import refinement as refinement_ops
 from spectralcluster_tpu.parallel import mesh as mesh_lib
 from spectralcluster_tpu.precision import precise
-from spectralcluster_tpu.types import LaplacianType
+from spectralcluster_tpu.types import EigenGapType, LaplacianType
+
+
+def _power_iterate_lambda_max(mat: jnp.ndarray, key: jax.Array,
+                              iters: int = 12) -> jnp.ndarray:
+  """Largest-eigenvalue estimate via power iteration (sharded matvecs)."""
+  v = jax.random.normal(key, (mat.shape[0],), dtype=mat.dtype)
+
+  def body(_, v):
+    v = jnp.matmul(mat, v, preferred_element_type=jnp.float32)
+    return v / jnp.linalg.norm(v)
+
+  v = jax.lax.fori_loop(0, iters, body, v / jnp.linalg.norm(v))
+  return jnp.dot(v, jnp.matmul(mat, v, preferred_element_type=jnp.float32))
 
 
 @functools.lru_cache(maxsize=16)
@@ -54,6 +67,11 @@ def make_sharded_cluster_fn(cfg: pipeline_lib.PipelineConfig, mesh,
   descend = cfg.laplacian_type in (None, LaplacianType.Affinity)
   structure = refinement_ops.analyze_symmetry(
       cfg.refinement_options.refinement_sequence, cfg.affinity_symmetric)
+  if structure == refinement_ops.GENERAL or (
+      not descend and structure != refinement_ops.SYMMETRIC):
+    raise ValueError(
+        "sharded path requires a symmetric / rownorm-tail refinement "
+        "structure (no general eigensolver exists on device)")
 
   @precise
   def step(embeddings, key):
@@ -91,6 +109,13 @@ def make_sharded_cluster_fn(cfg: pipeline_lib.PipelineConfig, mesh,
     else:
       v = u
     w = eigen_ops.snap_small_eigenvalues(w, tol=cfg.eigenvalue_snap_tol)
+    if not descend and cfg.eigengap_type == EigenGapType.NormalizedDiff:
+      # Ascending NormalizedDiff normalizes by the LARGEST eigenvalue
+      # (reference utils.py:109-110), which the bottom-k iteration doesn't
+      # produce — estimate it with a short power iteration and append it so
+      # the masked scan's max sees it (the scan range excludes the last slot).
+      lam_max = _power_iterate_lambda_max(mat, key)
+      w = jnp.concatenate([w, lam_max[None]])
     n_gap, _ = eigen_ops.compute_number_of_clusters(
         w, max_clusters=cfg.max_clusters,
         stop_eigenvalue=cfg.stop_eigenvalue,
