@@ -34,7 +34,7 @@ from spectralcluster_tpu.autotune import AutoTune
 from spectralcluster_tpu.ops import affinity as affinity_ops
 from spectralcluster_tpu.ops import kmeans as kmeans_ops
 from spectralcluster_tpu.precision import precise_jit
-from spectralcluster_tpu.types import (AutoTuneProxy, ClusterResult,
+from spectralcluster_tpu.types import (ClusterResult,
                                        ConstraintOptions, EigenGapType,
                                        EigenSolver, FallbackOptions,
                                        LaplacianType, RefinementName,

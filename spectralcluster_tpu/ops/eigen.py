@@ -21,7 +21,6 @@ Key TPU restructurings:
 
 from __future__ import annotations
 
-import functools
 import typing
 
 import jax

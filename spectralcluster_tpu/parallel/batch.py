@@ -16,7 +16,6 @@ import typing
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 from spectralcluster_tpu import pipeline as pipeline_lib
 from spectralcluster_tpu.parallel import mesh as mesh_lib
