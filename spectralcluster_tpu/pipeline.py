@@ -80,6 +80,10 @@ class PipelineConfig:
   # Use the fused Pallas kernels (kernels/fused.py) for the hot refinement
   # stages on TPU backends; falls back to jnp where patterns don't apply.
   use_pallas: bool = True
+  # Iterations for EigenSolver.SubspaceIteration (top-k randomized subspace
+  # power iteration — O(N²k) instead of full eigh's O(N³); only the
+  # max_clusters+1 extreme eigenpairs the eigengap ever reads are computed).
+  subspace_iters: int = 24
 
   def replace(self, **kw) -> "PipelineConfig":
     return dataclasses.replace(self, **kw)
@@ -131,10 +135,34 @@ def refine_and_eigendecompose(
 
   if cfg.eigensolver == EigenSolver.HostGeneral:
     structure = refinement_ops.GENERAL
-  elif cfg.eigensolver == EigenSolver.Eigh and structure == refinement_ops.GENERAL:
+  elif (cfg.eigensolver in (EigenSolver.Eigh, EigenSolver.SubspaceIteration)
+        and structure == refinement_ops.GENERAL):
     raise ValueError(
-        "EigenSolver.Eigh requested but the pipeline structure is not "
-        "symmetric / diagonal-similar; use Auto or HostGeneral.")
+        f"EigenSolver.{cfg.eigensolver.name} requested but the pipeline "
+        "structure is not symmetric / diagonal-similar; use Auto or "
+        "HostGeneral.")
+  if (cfg.eigensolver == EigenSolver.SubspaceIteration
+      and cfg.max_clusters is None):
+    raise ValueError("SubspaceIteration requires max_clusters (the top-k).")
+
+  def eig_dispatch(sym_mat, vec_scale):
+    """Symmetric eigendecomposition: full eigh or top-k subspace iteration."""
+    if cfg.eigensolver == EigenSolver.SubspaceIteration:
+      k = cfg.max_clusters + 1
+      w, u = eigen_ops.topk_eigh_subspace(
+          sym_mat, k, jax.random.PRNGKey(42),
+          num_iters=cfg.subspace_iters, largest=descend)
+      if vec_scale is not None:
+        v = vec_scale[:, None] * u
+        if n_valid is None:
+          norms = jnp.linalg.norm(v, axis=0)
+        else:
+          valid = (jnp.arange(v.shape[0]) < n_valid)[:, None]
+          norms = jnp.linalg.norm(jnp.where(valid, v, 0.0), axis=0)
+        u = v / jnp.where(norms > 0, norms, 1.0)
+      return w, u
+    return eigen_ops.sorted_eigh_similarity(
+        sym_mat, vec_scale, descend=descend, n_valid=n_valid)
 
   constraint_after = (
       with_constraint and cfg.constraint_options is not None and
@@ -146,7 +174,8 @@ def refine_and_eigendecompose(
         use_pallas=cfg.use_pallas)
 
   if (structure == refinement_ops.ROWNORM_TAIL and
-      cfg.eigensolver in (EigenSolver.Auto, EigenSolver.Eigh)):
+      cfg.eigensolver in (EigenSolver.Auto, EigenSolver.Eigh,
+                          EigenSolver.SubspaceIteration)):
     # A = D_r^{-1} S with S symmetric: eigh on D_r^{-1/2} S D_r^{-1/2}.
     with jax.named_scope("refinement"):
       s = apply_seq(affinity, seq[:-1])
@@ -156,8 +185,7 @@ def refine_and_eigendecompose(
     if n_valid is not None:
       m = eigen_ops.apply_padding_sentinels(m, n_valid, descend)
     with jax.named_scope("eigh"):
-      eigenvalues, eigenvectors = eigen_ops.sorted_eigh_similarity(
-          m, inv_sqrt, descend=descend, n_valid=n_valid)
+      eigenvalues, eigenvectors = eig_dispatch(m, inv_sqrt)
   else:
     with jax.named_scope("refinement"):
       refined = apply_seq(affinity, seq)
@@ -181,18 +209,21 @@ def refine_and_eigendecompose(
       if n_valid is not None:
         m = eigen_ops.apply_padding_sentinels(m, n_valid, descend)
       with jax.named_scope("eigh"):
-        eigenvalues, eigenvectors = eigen_ops.sorted_eigh_similarity(
-            m, scale, descend=descend, n_valid=n_valid)
+        eigenvalues, eigenvectors = eig_dispatch(m, scale)
 
+  # Subspace iteration returns only the k extreme eigenpairs — all valid,
+  # no padding sentinels among them.
+  gap_n_valid = (None if cfg.eigensolver == EigenSolver.SubspaceIteration
+                 else n_valid)
   eigenvalues = eigen_ops.snap_small_eigenvalues(
-      eigenvalues, n_valid=n_valid, tol=cfg.eigenvalue_snap_tol)
+      eigenvalues, n_valid=gap_n_valid, tol=cfg.eigenvalue_snap_tol)
   n_clusters, max_delta = eigen_ops.compute_number_of_clusters(
       eigenvalues,
       max_clusters=cfg.max_clusters,
       stop_eigenvalue=cfg.stop_eigenvalue,
       eigengap_type=cfg.eigengap_type,
       descend=descend,
-      n_valid=n_valid)
+      n_valid=gap_n_valid)
   return eigenvalues, eigenvectors, n_clusters, max_delta
 
 

@@ -1,0 +1,87 @@
+"""Auxiliary-subsystem tests (SURVEY.md §5): determinism, NaN hygiene,
+observability, result metadata.
+"""
+
+import jax
+import numpy as np
+
+from spectralcluster_tpu import configs, observability, utils
+from spectralcluster_tpu.clusterer import SpectralClusterer
+
+
+def _embeddings(seed=0):
+  rng = np.random.RandomState(seed)
+  centers = np.eye(3, 16) * 4
+  true = np.repeat(np.arange(3), 30)
+  return centers[true] + rng.randn(90, 16) * 0.2
+
+
+class TestDeterminism:
+
+  def test_same_seed_same_labels(self):
+    x = _embeddings()
+    a = configs.make_icassp2018_clusterer().predict(x)
+    b = configs.make_icassp2018_clusterer().predict(x)
+    np.testing.assert_equal(a, b)
+
+  def test_explicit_seed_changes_only_init(self):
+    x = _embeddings()
+    ro = configs.icassp2018_refinement_options()
+    a = SpectralClusterer(min_clusters=2, max_clusters=7,
+                          refinement_options=ro, seed=0).predict(x)
+    b = SpectralClusterer(min_clusters=2, max_clusters=7,
+                          refinement_options=ro, seed=123).predict(x)
+    # Separable data: same partition regardless of k-means++ seed.
+    np.testing.assert_equal(utils.enforce_ordered_labels(a),
+                            utils.enforce_ordered_labels(b))
+
+
+class TestNanHygiene:
+
+  def test_no_nans_with_debug_flag(self):
+    # jax_debug_nans raises on any NaN materialized by the compiled pipeline.
+    x = _embeddings()
+    jax.config.update("jax_debug_nans", True)
+    try:
+      labels = configs.make_icassp2018_clusterer().predict(x)
+      assert labels.shape == (90,)
+    finally:
+      jax.config.update("jax_debug_nans", False)
+
+
+class TestObservability:
+
+  def test_cluster_result_metadata(self):
+    x = np.array([[1.0, 0.0], [1.1, 0.1], [0.0, 1.0], [0.1, 1.0],
+                  [0.9, -0.1], [0.0, 1.2]])
+    res = configs.make_icassp2018_clusterer().predict_with_details(x)
+    # With the full preset (gaussian blur sigma=1) the reference also finds 3
+    # clusters here: labels [0, 0, 1, 1, 2, 1].
+    assert res.n_clusters == 3
+    np.testing.assert_equal(utils.enforce_ordered_labels(res.labels),
+                            np.array([0, 0, 1, 1, 2, 1]))
+    assert res.eigenvalues is not None and res.eigenvalues.shape[0] == 6
+    assert res.max_delta_norm > 0
+
+  def test_autotune_best_p_reported(self):
+    x = _embeddings()
+    res = configs.make_turntodiarize_clusterer().predict_with_details(x)
+    assert res.best_p_percentile is not None
+    assert 0.4 <= res.best_p_percentile <= 0.95
+
+  def test_stage_timer(self):
+    t = observability.StageTimings()
+    with t.stage("affinity"):
+      pass
+    with t.stage("eigh"):
+      pass
+    d = t.as_dict()
+    assert set(d) == {"affinity", "eigh"}
+    assert all(v >= 0 for v in d.values())
+
+  def test_block_and_time(self):
+    import jax.numpy as jnp
+    out, secs = observability.block_and_time(
+        lambda: jnp.ones((8, 8)) * 2.0)
+    assert secs >= 0
+    np.testing.assert_allclose(np.asarray(out), 2.0)

@@ -230,3 +230,51 @@ class TestSpectralClusterer:
     labels = utils.enforce_ordered_labels(clusterer.predict(MATRIX_6x2))
     np.testing.assert_equal(EXPECTED_6x2, labels)
     assert calls["n_clusters"] == 2
+
+
+class TestSubspaceEigensolver:
+  """EigenSolver.SubspaceIteration: top-k O(N²k) path matches full eigh."""
+
+  def test_matches_full_eigh_labels(self):
+    from spectralcluster_tpu.types import EigenSolver
+    rng = np.random.RandomState(0)
+    centers = np.eye(3, 16) * 4
+    true = np.repeat(np.arange(3), 40)
+    x = centers[true] + rng.randn(120, 16) * 0.2
+    kwargs = dict(min_clusters=2, max_clusters=7,
+                  refinement_options=_refinement_options())
+    full = SpectralClusterer(**kwargs)
+    sub = SpectralClusterer(eigensolver=EigenSolver.SubspaceIteration,
+                            **kwargs)
+    np.testing.assert_equal(
+        utils.enforce_ordered_labels(full.predict(x)),
+        utils.enforce_ordered_labels(sub.predict(x)))
+
+  def test_laplacian_path(self):
+    from spectralcluster_tpu.types import EigenSolver
+    rng = np.random.RandomState(1)
+    centers = np.eye(2, 8) * 4
+    true = np.repeat(np.arange(2), 30)
+    x = centers[true] + rng.randn(60, 8) * 0.2
+    # Symmetric refinement output (threshold+symmetrize) — the rownorm-tail
+    # sequence plus a Laplacian is a general-eig case that SubspaceIteration
+    # correctly refuses.
+    sub = SpectralClusterer(
+        min_clusters=2, max_clusters=4,
+        refinement_options=RefinementOptions(
+            thresholding_type=ThresholdType.Percentile,
+            p_percentile=0.7,
+            refinement_sequence=(RefinementName.RowWiseThreshold,
+                                 RefinementName.Symmetrize)),
+        laplacian_type=LaplacianType.GraphCut,
+        row_wise_renorm=True,
+        eigensolver=EigenSolver.SubspaceIteration)
+    labels = utils.enforce_ordered_labels(sub.predict(x))
+    np.testing.assert_equal(utils.enforce_ordered_labels(true), labels)
+
+  def test_requires_max_clusters(self):
+    from spectralcluster_tpu.types import EigenSolver
+    c = SpectralClusterer(refinement_options=_refinement_options(),
+                          eigensolver=EigenSolver.SubspaceIteration)
+    with pytest.raises(ValueError):
+      c.predict(MATRIX_6x2)
