@@ -57,6 +57,34 @@ def pad_bucket(n: int) -> int:
 
 
 @dataclasses.dataclass(frozen=True)
+class AutoTuneStatic:
+  """Static auto-tune spec for the fully-jitted pipeline.
+
+  Level-1 hierarchical search (the Turn-to-Diarize preset, configs.py:66-70)
+  is a single candidate sweep — expressible entirely in-graph: the
+  p-dependent suffix is vmapped over the static candidate grid, the DER
+  proxy is computed on-device, and argmin selects the winner. Deeper search
+  levels need the host loop (autotune.AutoTune), whose narrowed grids are
+  data-dependent.
+  """
+  p_percentile_min: float = 0.60
+  p_percentile_max: float = 0.95
+  init_search_step: float = 0.01
+  proxy: "AutoTuneProxy" = None  # default set in __post_init__
+
+  def __post_init__(self):
+    if self.proxy is None:
+      from spectralcluster_tpu.types import AutoTuneProxy
+      object.__setattr__(self, "proxy", AutoTuneProxy.PercentileSqrtOverNME)
+
+  def candidates(self):
+    import numpy as np
+    num = int(np.ceil((self.p_percentile_max - self.p_percentile_min)
+                      / self.init_search_step))
+    return np.linspace(self.p_percentile_min, self.p_percentile_max, num)
+
+
+@dataclasses.dataclass(frozen=True)
 class PipelineConfig:
   """Static (hashable) configuration of the compiled pipeline."""
   refinement_options: RefinementOptions = RefinementOptions()
@@ -84,6 +112,9 @@ class PipelineConfig:
   # power iteration — O(N²k) instead of full eigh's O(N³); only the
   # max_clusters+1 extreme eigenpairs the eigengap ever reads are computed).
   subspace_iters: int = 24
+  # In-graph auto-tune (level-1 candidate sweep) for the fully-jitted paths;
+  # the host-orchestrated SpectralClusterer uses autotune.AutoTune instead.
+  autotune: typing.Optional[AutoTuneStatic] = None
 
   def replace(self, **kw) -> "PipelineConfig":
     return dataclasses.replace(self, **kw)
@@ -264,7 +295,8 @@ def spectral_embeddings_from_eigs(
   dynamic slice eigenvectors[:, :n] (spectral_clusterer.py:299-305).
   """
   emb = eigenvectors[:, :k_max]
-  col_ok = jnp.arange(k_max) < n_clusters
+  # N < k_max leaves fewer columns than the cap; mask the effective width.
+  col_ok = jnp.arange(emb.shape[1]) < n_clusters
   emb = jnp.where(col_ok[None, :], emb, 0.0)
   if row_wise_renorm:
     norms = jnp.linalg.norm(emb, axis=1, keepdims=True)
@@ -294,15 +326,45 @@ def spectral_cluster_fixed_k(
         "spectral_cluster_fixed_k requires max_clusters (static k cap); "
         "use the host-orchestrated SpectralClusterer for unbounded k.")
   n = embeddings.shape[0]
+  k_max = cfg.max_clusters
   with jax.named_scope("affinity"):
     affinity = prepare_affinity(embeddings, cfg, constraint_matrix, n_valid)
-  eigenvalues, eigenvectors, n_gap, max_delta = refine_and_eigendecompose(
-      affinity, cfg, p_percentile=None, constraint_matrix=constraint_matrix,
-      n_valid=n_valid)
+  if cfg.autotune is not None:
+    from spectralcluster_tpu.types import AutoTuneProxy, RefinementName
+    seq = cfg.refinement_options.refinement_sequence or ()
+    if RefinementName.RowWiseThreshold not in seq:
+      raise ValueError(
+          "AutoTune is only effective when the refinement sequence"
+          "contains RowWiseThreshold")
+    ps = jnp.asarray(cfg.autotune.candidates(), jnp.float32)
+
+    def one(p):
+      w, v, n_c, delta = refine_and_eigendecompose(
+          affinity, cfg, p_percentile=p, constraint_matrix=constraint_matrix,
+          n_valid=n_valid)
+      # Keep only the k_max columns downstream K-Means reads — bounds the
+      # vmapped eigenvector buffer to (B, N, k) instead of (B, N, N).
+      return w, v[:, :k_max], n_c, delta
+
+    ws, vs, ns, deltas = jax.vmap(one)(ps)
+    if cfg.autotune.proxy == AutoTuneProxy.PercentileSqrtOverNME:
+      ratios = jnp.sqrt(1.0 - ps) / deltas
+    elif cfg.autotune.proxy == AutoTuneProxy.PercentileOverNME:
+      ratios = (1.0 - ps) / deltas
+    else:
+      raise ValueError("Unsupported value of AutoTuneProxy")
+    best = jnp.argmin(ratios)
+    eigenvalues = ws[best]
+    eigenvectors = vs[best]
+    n_gap = ns[best]
+    max_delta = deltas[best]
+  else:
+    eigenvalues, eigenvectors, n_gap, max_delta = refine_and_eigendecompose(
+        affinity, cfg, p_percentile=None, constraint_matrix=constraint_matrix,
+        n_valid=n_valid)
   n_clusters = n_gap
   if cfg.min_clusters is not None:
     n_clusters = jnp.maximum(n_clusters, cfg.min_clusters)
-  k_max = cfg.max_clusters
   emb = spectral_embeddings_from_eigs(
       eigenvectors, n_clusters, k_max, cfg.row_wise_renorm, n_valid)
   if n_valid is None:

@@ -120,3 +120,43 @@ class TestRingAffinity:
     out = ring.ring_affinity(x, mesh)
     ref = affinity_ops.compute_affinity_matrix(x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+class TestInJitAutotune:
+  """PipelineConfig.autotune: the level-1 candidate sweep fully in-graph."""
+
+  def test_turntodiarize_fully_jitted_matches_host(self):
+    import jax.numpy as jnp
+
+    from spectralcluster_tpu import configs, constraint
+    from spectralcluster_tpu.types import LaplacianType
+    x = np.array([[1.0, 0.0], [1.1, 0.1], [0.0, 1.0], [0.1, 1.0],
+                  [0.9, -0.1], [0.0, 1.2]], dtype=np.float32)
+    cm = constraint.ConstraintMatrix(
+        [0, 0, 1.5, 0, 1.5, 1.5], threshold=1).compute_diagonals()
+
+    host = configs.make_turntodiarize_clusterer()
+    host_labels = utils.enforce_ordered_labels(host.predict(x, cm))
+
+    cfg = pipeline.PipelineConfig(
+        refinement_options=configs.turntodiarize_refinement_options(),
+        constraint_options=configs.turntodiarize_constraint_options(),
+        laplacian_type=LaplacianType.GraphCut,
+        min_clusters=2, max_clusters=7, row_wise_renorm=True,
+        autotune=pipeline.AutoTuneStatic(0.40, 0.95, 0.05))
+    labels, n, _, _ = jax.jit(
+        lambda e, c: pipeline.spectral_cluster_fixed_k(
+            e, jax.random.PRNGKey(0), cfg, c))(x, cm.astype(np.float32))
+    np.testing.assert_equal(host_labels,
+                            utils.enforce_ordered_labels(np.asarray(labels)))
+    assert int(n) == 2
+
+  def test_requires_threshold_in_sequence(self):
+    from spectralcluster_tpu.types import RefinementOptions
+    cfg = pipeline.PipelineConfig(
+        refinement_options=RefinementOptions(refinement_sequence=()),
+        min_clusters=2, max_clusters=4,
+        autotune=pipeline.AutoTuneStatic())
+    with pytest.raises(ValueError):
+      pipeline.spectral_cluster_fixed_k(
+          np.zeros((8, 2), np.float32), jax.random.PRNGKey(0), cfg)
