@@ -32,21 +32,28 @@ def make_batched_cluster_fn(cfg: pipeline_lib.PipelineConfig, mesh):
   """
 
   @precise
-  def step(embeddings, n_valid, keys):
+  def step(embeddings, n_valid, keys, constraint_matrices=None):
     embeddings = jax.lax.with_sharding_constraint(
         embeddings, mesh_lib.batch_sharding(mesh, 3))
 
-    def one(emb, nv, key):
+    def one(emb, nv, key, cm):
       labels, n_clusters, _, _ = pipeline_lib.spectral_cluster_fixed_k(
-          emb, key, cfg, None, nv)
+          emb, key, cfg, cm, nv)
       return labels, n_clusters
 
-    labels, n_clusters = jax.vmap(one)(embeddings, n_valid, keys)
+    if constraint_matrices is None:
+      labels, n_clusters = jax.vmap(
+          lambda e, nv, k: one(e, nv, k, None))(embeddings, n_valid, keys)
+    else:
+      constraint_matrices = jax.lax.with_sharding_constraint(
+          constraint_matrices, mesh_lib.batch_sharding(mesh, 3))
+      labels, n_clusters = jax.vmap(one)(embeddings, n_valid, keys,
+                                         constraint_matrices)
     labels = jax.lax.with_sharding_constraint(
         labels, mesh_lib.batch_sharding(mesh, 2))
     return labels, n_clusters
 
-  return jax.jit(step)
+  return jax.jit(step, static_argnames=())
 
 
 def cluster_batch(
@@ -54,11 +61,16 @@ def cluster_batch(
     cfg: pipeline_lib.PipelineConfig,
     mesh=None,
     seed: int = 0,
+    constraint_matrices: typing.Optional[
+        typing.Sequence[np.ndarray]] = None,
 ) -> typing.List[np.ndarray]:
   """Cluster many variable-length utterances data-parallel.
 
   Pads every utterance to a common bucket, shards the batch over the mesh,
   and returns per-utterance label arrays (trimmed to true lengths).
+  ``constraint_matrices`` (one per utterance, or None) enables the
+  constrained Turn-to-Diarize configs — with cfg.autotune set, the whole
+  constrained + auto-tuned batch runs as one compiled step.
   """
   if mesh is None:
     mesh = mesh_lib.make_mesh()
@@ -75,6 +87,16 @@ def cluster_batch(
     n_valid[i] = u.shape[0]
   keys = jax.vmap(jax.random.PRNGKey)(seed + np.arange(b_pad))
   fn = make_batched_cluster_fn(cfg, mesh)
-  labels, _ = fn(jnp.asarray(batch), jnp.asarray(n_valid), keys)
+  if constraint_matrices is not None:
+    if len(constraint_matrices) != b:
+      raise ValueError("need one constraint matrix per utterance")
+    cms = np.zeros((b_pad, n_pad, n_pad), dtype=np.float32)
+    for i, cm in enumerate(constraint_matrices):
+      k = lengths[i]
+      cms[i, :k, :k] = cm
+    labels, _ = fn(jnp.asarray(batch), jnp.asarray(n_valid), keys,
+                   jnp.asarray(cms))
+  else:
+    labels, _ = fn(jnp.asarray(batch), jnp.asarray(n_valid), keys)
   labels = np.asarray(labels)
   return [labels[i, :lengths[i]] for i in range(b)]

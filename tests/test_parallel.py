@@ -160,3 +160,28 @@ class TestInJitAutotune:
     with pytest.raises(ValueError):
       pipeline.spectral_cluster_fixed_k(
           np.zeros((8, 2), np.float32), jax.random.PRNGKey(0), cfg)
+
+
+class TestConstrainedBatch:
+  """DP batch of constrained + auto-tuned (Turn-to-Diarize) utterances."""
+
+  def test_batch_matches_host_predict(self):
+    from spectralcluster_tpu import configs, constraint
+    from spectralcluster_tpu.types import LaplacianType
+    mesh = mesh_lib.make_mesh(dp=4, mp=2)
+    x = np.array([[1.0, 0.0], [1.1, 0.1], [0.0, 1.0], [0.1, 1.0],
+                  [0.9, -0.1], [0.0, 1.2]], dtype=np.float32)
+    cm = constraint.ConstraintMatrix(
+        [0, 0, 1.5, 0, 1.5, 1.5], threshold=1).compute_diagonals()
+    cfg = pipeline.PipelineConfig(
+        refinement_options=configs.turntodiarize_refinement_options(),
+        constraint_options=configs.turntodiarize_constraint_options(),
+        laplacian_type=LaplacianType.GraphCut,
+        min_clusters=2, max_clusters=7, row_wise_renorm=True,
+        autotune=pipeline.AutoTuneStatic(0.40, 0.95, 0.05))
+    results = batch_lib.cluster_batch(
+        [x] * 4, cfg, mesh=mesh, constraint_matrices=[cm] * 4)
+    expected = utils.enforce_ordered_labels(
+        configs.make_turntodiarize_clusterer().predict(x, cm))
+    for r in results:
+      np.testing.assert_equal(expected, utils.enforce_ordered_labels(r))
