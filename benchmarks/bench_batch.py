@@ -34,9 +34,14 @@ def main(batch=16, n=1024, d=256):
     labels = rng.randint(0, k, size=n)
     utts.append((centers[labels] + rng.randn(n, d) * 0.4).astype(np.float32))
 
+  import os
+
+  from spectralcluster_tpu.types import EigenSolver
+  solver = os.environ.get("SCT_BATCH_SOLVER")
   cfg = pipeline.PipelineConfig(
       refinement_options=configs.icassp2018_refinement_options(),
-      min_clusters=2, max_clusters=7, custom_dist="cosine", max_iter=300)
+      min_clusters=2, max_clusters=7, custom_dist="cosine", max_iter=300,
+      eigensolver=(EigenSolver[solver] if solver else EigenSolver.Auto))
   mesh = mesh_lib.make_mesh()
 
   t0 = time.time()
