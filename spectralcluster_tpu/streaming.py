@@ -174,3 +174,47 @@ class MultiStageClusterer:
         compression_labels=compression_labels,
         previous_output=final_labels)
     return final_labels
+
+  def streaming_predict_batch(self, embeddings: np.ndarray,
+                              stride: int = 1) -> np.ndarray:
+    """Feed many embeddings; return the final corrected label history.
+
+    TPU-throughput extension (not in the reference API): the expensive
+    re-cluster (AHC + spectral) runs only every ``stride`` steps while the
+    cache/compression state is maintained exactly as in per-step streaming —
+    the final output equals ``streaming_predict`` called per embedding
+    whenever (num_embeddings - 1) is a multiple of ``stride`` at the end.
+    With stride=1 this is just a loop over streaming_predict.
+    """
+    if stride > 1 and self.deflicker == Deflicker.Hungarian:
+      raise ValueError(
+          "Hungarian deflicker needs consecutive outputs; use stride=1.")
+    embeddings = np.atleast_2d(np.asarray(embeddings))
+    out = None
+    total = embeddings.shape[0]
+    for idx, e in enumerate(embeddings):
+      is_last = idx == total - 1
+      if stride > 1 and not is_last:
+        n_after = self.state.num_embeddings + 1
+        # Cheap path: append to cache without re-clustering, except at
+        # stage boundaries (first input, U1 crossing, U2 compression) where
+        # state transitions must run.
+        crosses = (n_after == 1 or n_after == self.U1 + 1
+                   or (self.state.cache is not None
+                       and self.state.cache.shape[0] + 1 == self.U2))
+        if not crosses and (n_after - 1) % stride != 0:
+          cache = (e if self.state.cache is None
+                   else np.vstack([self.state.cache, e]))
+          compression_labels = self.state.compression_labels
+          if compression_labels is not None:
+            # Each cache entry needs its own compressed-group id, exactly as
+            # the per-step path would have appended.
+            compression_labels = np.append(compression_labels,
+                                           compression_labels.max() + 1)
+          self.state = MultiStageState(
+              cache=cache, num_embeddings=n_after,
+              compression_labels=compression_labels,
+              previous_output=self.state.previous_output)
+          continue
+      out = self.streaming_predict(e)
+    return out

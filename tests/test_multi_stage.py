@@ -169,3 +169,31 @@ class TestStateCheckpoint:
     a = ms.streaming_predict(np.array(SCRIPT[8]))
     b = ms2.streaming_predict(np.array(SCRIPT[8]))
     np.testing.assert_equal(a, b)
+
+
+class TestStreamingBatch:
+  """streaming_predict_batch: the TPU-throughput extension."""
+
+  def test_stride1_equals_per_step(self):
+    ms1, ms2 = _make_multi_stage(), _make_multi_stage()
+    per_step = None
+    for e in SCRIPT[:10]:
+      per_step = ms1.streaming_predict(np.array(e))
+    batched = ms2.streaming_predict_batch(np.array(SCRIPT[:10]), stride=1)
+    np.testing.assert_equal(per_step, batched)
+
+  def test_stride_matches_final_output(self):
+    # With stride dividing the final position, the last output matches.
+    ms1, ms2 = _make_multi_stage(), _make_multi_stage()
+    per_step = None
+    for e in SCRIPT[:9]:
+      per_step = ms1.streaming_predict(np.array(e))
+    batched = ms2.streaming_predict_batch(np.array(SCRIPT[:9]), stride=2)
+    np.testing.assert_equal(
+        utils.enforce_ordered_labels(per_step),
+        utils.enforce_ordered_labels(batched))
+
+  def test_hungarian_stride_rejected(self):
+    ms = _make_multi_stage(Deflicker.Hungarian)
+    with pytest.raises(ValueError):
+      ms.streaming_predict_batch(np.array(SCRIPT[:4]), stride=2)
