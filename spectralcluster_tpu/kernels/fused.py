@@ -74,13 +74,14 @@ def affinity_pallas(embeddings: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def _row_max_kernel(a_ref, out_ref, *, exclude_diagonal, t):
+def _row_max_kernel(nv_ref, a_ref, out_ref, *, exclude_diagonal, t):
   i = pl.program_id(0)
   j = pl.program_id(1)
   a = a_ref[:]
+  cols = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1) + j * t
+  a = jnp.where(cols < nv_ref[0, 0], a, -jnp.inf)
   if exclude_diagonal:
     rows = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0) + i * t
-    cols = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1) + j * t
     a = jnp.where(rows == cols, -jnp.inf, a)
   tile_max = jnp.max(a, axis=1, keepdims=True)
 
@@ -94,22 +95,33 @@ def _row_max_kernel(a_ref, out_ref, *, exclude_diagonal, t):
 
 
 def row_max_pallas(mat: jnp.ndarray, exclude_diagonal: bool = False,
-                   interpret: bool = False) -> jnp.ndarray:
-  """Row maxima of a square matrix, tiled; returns shape (N, 1)."""
+                   n_valid=None, interpret: bool = False) -> jnp.ndarray:
+  """Row maxima over the first ``n_valid`` columns; returns shape (N, 1).
+
+  Padding-aware: columns ≥ n_valid are excluded from the max (matters for
+  matrices with negative entries, where a zero-padded column would
+  otherwise win). Padded *rows* get -inf maxima; callers re-mask.
+  """
   n = mat.shape[0]
   t = _tile(n)
   grid = (n // t, n // t)
+  nv = jnp.asarray(n if n_valid is None else n_valid,
+                   jnp.int32).reshape(1, 1)
   out = pl.pallas_call(
       functools.partial(_row_max_kernel, exclude_diagonal=exclude_diagonal,
                         t=t),
       out_shape=jax.ShapeDtypeStruct((n, 1), jnp.float32),
       grid=grid,
-      in_specs=[pl.BlockSpec((t, t), lambda i, j: (i, j),
-                             memory_space=pltpu.VMEM)],
+      in_specs=[
+          pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                       memory_space=pltpu.SMEM),
+          pl.BlockSpec((t, t), lambda i, j: (i, j),
+                       memory_space=pltpu.VMEM),
+      ],
       out_specs=pl.BlockSpec((t, 1), lambda i, j: (i, 0),
                              memory_space=pltpu.VMEM),
       interpret=interpret,
-  )(mat)
+  )(nv, mat)
   return out
 
 
@@ -178,11 +190,13 @@ def _crop_diag_kernel(a_ref, rmax_ref, out_ref, *, t):
   out_ref[:] = jnp.where(rows == cols, rmax_ref[:], a)
 
 
-def crop_diagonal_pallas(mat: jnp.ndarray, interpret: bool = False):
+def crop_diagonal_pallas(mat: jnp.ndarray, n_valid=None,
+                         interpret: bool = False):
   """CropDiagonal: diag <- max of off-diagonal row values (two tiled passes)."""
   n = mat.shape[0]
   t = _tile(n)
-  rmax = row_max_pallas(mat, exclude_diagonal=True, interpret=interpret)
+  rmax = row_max_pallas(mat, exclude_diagonal=True, n_valid=n_valid,
+                        interpret=interpret)
   grid = (n // t, n // t)
   return pl.pallas_call(
       functools.partial(_crop_diag_kernel, t=t),
@@ -207,10 +221,11 @@ def _row_norm_kernel(a_ref, rmax_ref, out_ref):
   out_ref[:] = a_ref[:] / rmax_ref[:]
 
 
-def row_wise_normalize_pallas(mat: jnp.ndarray, interpret: bool = False):
+def row_wise_normalize_pallas(mat: jnp.ndarray, n_valid=None,
+                              interpret: bool = False):
   n = mat.shape[0]
   t = _tile(n)
-  rmax = row_max_pallas(mat, interpret=interpret)
+  rmax = row_max_pallas(mat, n_valid=n_valid, interpret=interpret)
   grid = (n // t, n // t)
   return pl.pallas_call(
       _row_norm_kernel,

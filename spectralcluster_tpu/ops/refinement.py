@@ -210,19 +210,17 @@ def apply_refinement_sequence(
         and options.thresholding_type == ThresholdType.RowMax
         and not options.thresholding_preserve_diagonal
         and options.symmetrize_type == SymmetrizeType.Max and p_concrete):
-      rmax = fused_kernels.row_max_pallas(mat)
+      rmax = fused_kernels.row_max_pallas(mat, n_valid=n_valid)
       mat = fused_kernels.threshold_symmetrize_pallas(
           mat, rmax, float(options.p_percentile),
           options.thresholding_soft_multiplier,
           options.thresholding_with_binarization)
-      if options.thresholding_with_binarization:
-        mat = mask_padding(mat, n_valid)
+      mat = mask_padding(mat, n_valid)
       i += 2
       continue
     if pallas_ok and name == RefinementName.CropDiagonal:
-      # Safe under zero-padding for the non-negative matrices of the
-      # affinity pipeline (padded rows/cols stay 0).
-      mat = fused_kernels.crop_diagonal_pallas(mat)
+      mat = mask_padding(fused_kernels.crop_diagonal_pallas(
+          mat, n_valid=n_valid), n_valid)
       i += 1
       continue
     mat = apply_refinement_op(mat, name, options, p_percentile, n_valid)

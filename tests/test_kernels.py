@@ -75,3 +75,50 @@ class TestRowNormalizeKernel:
     ours = fused.row_wise_normalize_pallas(a, interpret=True)
     ref = ref_ops.row_wise_normalize(a)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-6)
+
+
+class TestPaddedKernels:
+  """Kernels must reproduce the masked jnp twins on padded inputs,
+  including negative-valued matrices (where zero padding could corrupt
+  row maxima)."""
+
+  def test_row_max_masked_negative_values(self):
+    rng = np.random.RandomState(3)
+    a = jnp.asarray(rng.randn(256, 256) - 2.0, jnp.float32)  # mostly negative
+    a = a.at[200:, :].set(0.0).at[:, 200:].set(0.0)
+    out = fused.row_max_pallas(a, n_valid=200, interpret=True)
+    ref = np.max(np.asarray(a)[:200, :200], axis=1)
+    np.testing.assert_allclose(np.asarray(out)[:200, 0], ref, atol=1e-6)
+
+  def test_fused_sequence_padded_matches_jnp(self):
+    from spectralcluster_tpu.types import RefinementOptions, RefinementName
+    rng = np.random.RandomState(4)
+    raw = rng.rand(300, 300).astype(np.float32)
+    padded = np.zeros((512, 512), np.float32)
+    padded[:300, :300] = raw
+    opts = RefinementOptions(
+        p_percentile=0.8,
+        refinement_sequence=(RefinementName.CropDiagonal,
+                             RefinementName.RowWiseThreshold,
+                             RefinementName.Symmetrize))
+    import unittest.mock as mock
+    jnp_out = ref_ops.apply_refinement_sequence(
+        jnp.asarray(padded), opts, n_valid=300, use_pallas=False)
+    with mock.patch.object(ref_ops, "_pallas_applicable", return_value=True), \
+         mock.patch.object(fused.pl, "pallas_call",
+                           functools_partial_interpret()):
+      pallas_out = ref_ops.apply_refinement_sequence(
+          jnp.asarray(padded), opts, n_valid=300, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(pallas_out), np.asarray(jnp_out),
+                               atol=1e-5)
+
+
+def functools_partial_interpret():
+  import functools
+  orig = fused.pl.pallas_call
+
+  def wrapper(*args, **kwargs):
+    kwargs["interpret"] = True
+    return orig(*args, **kwargs)
+
+  return wrapper
