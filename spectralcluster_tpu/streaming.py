@@ -80,6 +80,21 @@ class MultiStageState:
                compression_labels=d.get("compression_labels"),
                previous_output=d.get("previous_output"))
 
+  def save(self, path: str) -> None:
+    """Checkpoint the streaming state to an .npz file."""
+    d = {k: v for k, v in self.to_dict().items() if v is not None}
+    d["num_embeddings"] = np.asarray(self.num_embeddings)
+    np.savez(path, **d)
+
+  @classmethod
+  def load(cls, path: str) -> "MultiStageState":
+    with np.load(path, allow_pickle=False) as z:
+      d = {k: z[k] for k in z.files}
+    return cls(cache=d.get("cache"),
+               num_embeddings=int(d["num_embeddings"]),
+               compression_labels=d.get("compression_labels"),
+               previous_output=d.get("previous_output"))
+
 
 class MultiStageClusterer:
   """Streaming multi-stage clusterer (reference multi_stage_clusterer.py:67+)."""

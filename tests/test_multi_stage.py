@@ -197,3 +197,15 @@ class TestStreamingBatch:
     ms = _make_multi_stage(Deflicker.Hungarian)
     with pytest.raises(ValueError):
       ms.streaming_predict_batch(np.array(SCRIPT[:4]), stride=2)
+
+  def test_npz_checkpoint(self, tmp_path):
+    ms = _make_multi_stage()
+    for embedding in SCRIPT[:8]:
+      ms.streaming_predict(np.array(embedding))
+    path = str(tmp_path / "state.npz")
+    ms.state.save(path)
+    ms2 = _make_multi_stage()
+    ms2.state = MultiStageState.load(path)
+    a = ms.streaming_predict(np.array(SCRIPT[8]))
+    b = ms2.streaming_predict(np.array(SCRIPT[8]))
+    np.testing.assert_equal(a, b)
