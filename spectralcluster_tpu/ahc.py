@@ -132,8 +132,13 @@ def _cut_labels(merges: np.ndarray, n: int,
       parent[find(b)] = next_id
     next_id += 1
   roots = np.array([find(i) for i in range(n)])
-  _, labels = np.unique(roots, return_inverse=True)
-  return labels.astype(np.int64)
+  # First-appearance relabel (same scheme as the C++ backend, ahc.cc:163-169),
+  # so both backends return identical label ids, not just the same partition.
+  remap: typing.Dict[int, int] = {}
+  labels = np.empty(n, dtype=np.int64)
+  for i, r in enumerate(roots):
+    labels[i] = remap.setdefault(int(r), len(remap))
+  return labels
 
 
 def ahc_labels(dist: np.ndarray,
@@ -153,15 +158,15 @@ def ahc_labels(dist: np.ndarray,
   n = dist.shape[0]
   if n == 1:
     return np.zeros(1, dtype=np.int64)
-  if _native_ok() and not (n_clusters is not None and n_clusters >= n):
+  if n_clusters is not None and n_clusters >= n:
+    return np.arange(n, dtype=np.int64)
+  if _native_ok():
     return ahc_native.ahc_labels(dist, linkage, n_clusters,
                                  distance_threshold)
   merges = nn_chain_linkage(dist, linkage)
   # Stable sort by height = scipy/sklearn dendrogram order.
   order = np.argsort(merges[:, 2], kind="stable")
   if n_clusters is not None:
-    if n_clusters >= n:
-      return np.arange(n, dtype=np.int64)
     keep = order[: n - n_clusters]
   else:
     keep = order[merges[order, 2] < distance_threshold]

@@ -195,9 +195,10 @@ class SpectralClusterer:
     v, n, delta, _ = self._eig_stage(affinity, constraint_matrix, p_percentile)
     return v, n, delta
 
-  def _eig_stage(self, affinity, constraint_matrix=None, p_percentile=None):
+  def _eig_stage(self, affinity, constraint_matrix=None, p_percentile=None,
+                 cfg=None):
     """Like _compute_eigenvectors_ncluster but also returns eigenvalues."""
-    cfg = self._config()
+    cfg = cfg if cfg is not None else self._config()
     num = np.asarray(affinity).shape[0]
     aff_padded, n_valid = self._pad_square(np.asarray(affinity))
     with_c = constraint_matrix is not None
@@ -248,6 +249,26 @@ class SpectralClusterer:
       raise ValueError("embeddings must be 2-dimensional")
     embeddings = np.asarray(embeddings)
     num_embeddings = embeddings.shape[0]
+
+    constraint_symmetric = True
+    if constraint_matrix is not None:
+      constraint_matrix = np.asarray(constraint_matrix)
+      if (constraint_matrix.ndim != 2 or constraint_matrix.shape !=
+          (num_embeddings, num_embeddings)):
+        raise ValueError(
+            "constraint matrix must be a square matrix matching embeddings: "
+            f"expected ({num_embeddings}, {num_embeddings}), got "
+            f"{constraint_matrix.shape}")
+      # The TPU path uses eigh (reads one triangle); an asymmetric constraint
+      # must route to the general eigensolver like the reference's np.linalg
+      # .eig would handle it (constraint.py:52-76 only checks squareness).
+      constraint_symmetric = bool(
+          np.array_equal(constraint_matrix, constraint_matrix.T))
+      if not constraint_symmetric and self.eigensolver in (
+          EigenSolver.Eigh, EigenSolver.SubspaceIteration):
+        raise ValueError(
+            f"EigenSolver.{self.eigensolver.name} requires a symmetric "
+            "constraint matrix; use EigenSolver.Auto or HostGeneral.")
 
     # Tiny inputs: fallback clusterer (spectral_clusterer.py:230-234).
     if num_embeddings < self.fallback_options.spectral_min_embeddings:
@@ -309,8 +330,13 @@ class SpectralClusterer:
         affinity = np.asarray(
             adjust(jnp.asarray(affinity, dtype=jnp.float32),
                    jnp.asarray(constraint_matrix, dtype=jnp.float32)))
+        if not constraint_symmetric:
+          # The adjusted affinity is now asymmetric; let the static symmetry
+          # analysis decide whether the refinement sequence restores symmetry.
+          cfg = cfg.replace(affinity_symmetric=False)
       else:
         cm_for_stage = np.asarray(constraint_matrix)
+        cfg = cfg.replace(constraint_symmetric=constraint_symmetric)
 
     best_p = None
     if self.autotune:
@@ -342,7 +368,7 @@ class SpectralClusterer:
       eigenvalues, max_delta = None, 0.0
     else:
       eigenvectors, n_clusters, max_delta, eigenvalues = (
-          self._eig_stage(affinity, cm_for_stage))
+          self._eig_stage(affinity, cm_for_stage, cfg=cfg))
 
     if self.min_clusters is not None:
       n_clusters = max(n_clusters, self.min_clusters)

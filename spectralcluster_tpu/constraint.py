@@ -72,7 +72,20 @@ def adjust_affinity(affinity: jnp.ndarray,
                     constraint_matrix: jnp.ndarray,
                     options: ConstraintOptions,
                     n_valid=None) -> jnp.ndarray:
-  """Dispatch on the constraint method (reference constraint.py:44-49)."""
+  """Dispatch on the constraint method (reference constraint.py:44-49).
+
+  Shape validation mirrors the reference ABC's check_input
+  (constraint.py:52-76); shapes are static at trace time, so these are
+  plain Python errors even under jit.
+  """
+  if affinity.ndim != 2 or affinity.shape[0] != affinity.shape[1]:
+    raise ValueError("affinity must be a 2-D square matrix")
+  if (constraint_matrix.ndim != 2
+      or constraint_matrix.shape[0] != constraint_matrix.shape[1]):
+    raise ValueError("constraint matrix must be a 2-D square matrix")
+  if affinity.shape != constraint_matrix.shape:
+    raise ValueError(
+        "affinity and constraint matrix must have the same shape")
   if options.constraint_name == ConstraintName.AffinityIntegration:
     out = affinity_integration(affinity, constraint_matrix,
                                options.integration_type)

@@ -81,8 +81,11 @@ def _row_max_kernel(nv_ref, a_ref, out_ref, *, exclude_diagonal, t):
   cols = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1) + j * t
   a = jnp.where(cols < nv_ref[0, 0], a, -jnp.inf)
   if exclude_diagonal:
+    # Match the reference's CropDiagonal (refinement.py:146-150): the diagonal
+    # is zero-filled and *included* in the max, so the result is >= 0 even for
+    # all-negative rows and well-defined when the row has no other valid col.
     rows = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0) + i * t
-    a = jnp.where(rows == cols, -jnp.inf, a)
+    a = jnp.where(rows == cols, 0.0, a)
   tile_max = jnp.max(a, axis=1, keepdims=True)
 
   @pl.when(j == 0)
@@ -100,7 +103,11 @@ def row_max_pallas(mat: jnp.ndarray, exclude_diagonal: bool = False,
 
   Padding-aware: columns ≥ n_valid are excluded from the max (matters for
   matrices with negative entries, where a zero-padded column would
-  otherwise win). Padded *rows* get -inf maxima; callers re-mask.
+  otherwise win). Padded *rows* get -inf maxima (0.0 with exclude_diagonal,
+  whose zeroed diagonal dominates); callers re-mask.
+
+  ``exclude_diagonal`` replaces the diagonal by 0.0 before the max — the
+  reference CropDiagonal semantics — rather than dropping it.
   """
   n = mat.shape[0]
   t = _tile(n)
@@ -130,12 +137,12 @@ def row_max_pallas(mat: jnp.ndarray, exclude_diagonal: bool = False,
 # ---------------------------------------------------------------------------
 
 
-def _thresh_sym_kernel(a_ref, at_ref, rmax_ref, cmax_ref, out_ref, *,
+def _thresh_sym_kernel(a_ref, atile_ref, rmax_ref, cmax_ref, out_ref, *,
                        p_percentile, multiplier, binarize):
   a = a_ref[:]            # tile (i, j) of A
-  at = at_ref[:]          # tile (i, j) of A^T  == A[j, i]^T
+  at = atile_ref[:].T     # tile (j, i) of A, transposed in VMEM == A^T[i, j]
   rmax = rmax_ref[:]      # (t, 1) row maxima for rows of this tile
-  cmax = cmax_ref[:]      # (1, t) row maxima for the *columns* (rows of A^T)
+  cmax = cmax_ref[:].T    # (t, 1) row maxima for rows j (columns of the tile)
 
   def thresh(x, m):
     is_smaller = x < m * p_percentile
@@ -155,6 +162,8 @@ def threshold_symmetrize_pallas(mat: jnp.ndarray,
   """max(T(A), T(A)^T) where T is row-max soft thresholding, one pass.
 
   ``row_max`` is the (N, 1) row-maximum vector (from row_max_pallas).
+  A^T tiles come from a second BlockSpec over the SAME array with a swapped
+  index map + an in-VMEM tile transpose — no N×N transposed copy in HBM.
   """
   n = mat.shape[0]
   t = _tile(n)
@@ -166,14 +175,14 @@ def threshold_symmetrize_pallas(mat: jnp.ndarray,
       grid=grid,
       in_specs=[
           pl.BlockSpec((t, t), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-          pl.BlockSpec((t, t), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+          pl.BlockSpec((t, t), lambda i, j: (j, i), memory_space=pltpu.VMEM),
           pl.BlockSpec((t, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-          pl.BlockSpec((1, t), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+          pl.BlockSpec((t, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
       ],
       out_specs=pl.BlockSpec((t, t), lambda i, j: (i, j),
                              memory_space=pltpu.VMEM),
       interpret=interpret,
-  )(mat, mat.T, row_max, row_max.T)
+  )(mat, mat, row_max, row_max)
 
 
 # ---------------------------------------------------------------------------

@@ -39,7 +39,7 @@ class StageTimings:
 
 
 @contextlib.contextmanager
-def profile_trace(log_dir: str, host_trace: bool = True):
+def profile_trace(log_dir: str):
   """Capture a jax.profiler trace of the enclosed block."""
   with jax.profiler.trace(log_dir, create_perfetto_link=False):
     yield

@@ -57,15 +57,27 @@ def sorted_eigh_similarity(
   renormalized to unit 2-norm columns (LAPACK eig convention, utils.py:59).
   """
   w, u = sorted_eigh(sym_mat, descend)
+  return w, recover_similarity_eigenvectors(u, vec_scale, n_valid)
+
+
+def recover_similarity_eigenvectors(
+    u: jnp.ndarray,
+    vec_scale: typing.Optional[jnp.ndarray],
+    n_valid=None) -> jnp.ndarray:
+  """Map eigenvectors of the symmetric similarity form back to the original.
+
+  v = s * u, renormalized to unit 2-norm columns (the LAPACK eig convention,
+  utils.py:59); with ``n_valid``, norms are taken over valid rows only.
+  """
   if vec_scale is None:
-    return w, u
+    return u
   v = vec_scale[:, None] * u
   if n_valid is None:
     norms = jnp.linalg.norm(v, axis=0)
   else:
     valid = (jnp.arange(v.shape[0]) < n_valid)[:, None]
     norms = jnp.linalg.norm(jnp.where(valid, v, 0.0), axis=0)
-  return w, v / jnp.where(norms > 0, norms, 1.0)
+  return v / jnp.where(norms > 0, norms, 1.0)
 
 
 def sorted_eig_general_host(

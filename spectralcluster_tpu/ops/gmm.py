@@ -20,11 +20,13 @@ import typing
 import jax
 import jax.numpy as jnp
 
+from spectralcluster_tpu.precision import precise_jit
+
 _REG_COVAR = 1e-6
 _LOG2PI = 1.8378770664093453
 
 
-@functools.partial(jax.jit, static_argnames=("n_components", "max_iter"))
+@functools.partial(precise_jit, static_argnames=("n_components", "max_iter"))
 def fit_gmm_1d(values: jnp.ndarray,
                n_components: int = 2,
                max_iter: int = 100,

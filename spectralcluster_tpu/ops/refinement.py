@@ -55,7 +55,11 @@ def crop_diagonal(mat: jnp.ndarray, n_valid=None) -> jnp.ndarray:
   """
   n = mat.shape[0]
   eye = jnp.eye(n, dtype=bool)
-  off = jnp.where(eye, -jnp.inf, mat)
+  # The reference zero-fills the diagonal and takes the row max *including*
+  # those zeros (refinement.py:146-150), so the result is always >= 0 even
+  # for all-negative rows (reachable via a user affinity_function) and is
+  # well-defined at N=1. Padded columns are -inf, dominated by the 0 diagonal.
+  off = jnp.where(eye, 0.0, mat)
   if n_valid is not None:
     v = _valid_mask(n, n_valid)
     off = jnp.where(v[None, :], off, -jnp.inf)

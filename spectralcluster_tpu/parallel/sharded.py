@@ -102,12 +102,7 @@ def make_sharded_cluster_fn(cfg: pipeline_lib.PipelineConfig, mesh,
     w, u = eigen_ops.topk_eigh_subspace(
         mat, k, key, num_iters=num_iters, oversample=oversample,
         largest=descend)
-    if vec_scale is not None:
-      v = vec_scale[:, None] * u
-      norms = jnp.linalg.norm(v, axis=0)
-      v = v / jnp.where(norms > 0, norms, 1.0)
-    else:
-      v = u
+    v = eigen_ops.recover_similarity_eigenvectors(u, vec_scale)
     w = eigen_ops.snap_small_eigenvalues(w, tol=cfg.eigenvalue_snap_tol)
     if not descend and cfg.eigengap_type == EigenGapType.NormalizedDiff:
       # Ascending NormalizedDiff normalizes by the LARGEST eigenvalue

@@ -101,6 +101,11 @@ class PipelineConfig:
   # Whether the (possibly user-injected) affinity function yields a symmetric
   # matrix. The built-in cosine affinity always does.
   affinity_symmetric: bool = True
+  # Whether the user's constraint matrix is symmetric. Library-built
+  # ConstraintMatrix always is; SpectralClusterer checks the array host-side
+  # and clears this to route an asymmetric constraint to the general
+  # eigensolver instead of silently feeding eigh a one-triangle view.
+  constraint_symmetric: bool = True
   # Eigenvalues with |w| < snap_tol·max|w| are snapped to exact zero before
   # the eigengap scan (float32 noise at structural zeros otherwise flips the
   # Ratio eigengap's sign; see ops/eigen.py snap_small_eigenvalues).
@@ -129,13 +134,22 @@ def _descend(cfg: PipelineConfig) -> bool:
 def _eig_structure(cfg: PipelineConfig, with_constraint: bool) -> str:
   """Statically classify which eigensolver path applies."""
   seq = cfg.refinement_options.refinement_sequence
-  structure = refinement_ops.analyze_symmetry(seq, cfg.affinity_symmetric)
+  constraint_before = (
+      with_constraint and cfg.constraint_options is not None and
+      cfg.constraint_options.apply_before_refinement)
+  # An asymmetric constraint applied before refinement makes the refinement
+  # *input* asymmetric; analyze_symmetry then decides whether the sequence
+  # restores symmetry (e.g. a later Symmetrize does).
+  input_symmetric = cfg.affinity_symmetric and not (
+      constraint_before and not cfg.constraint_symmetric)
+  structure = refinement_ops.analyze_symmetry(seq, input_symmetric)
   constraint_after = (
       with_constraint and cfg.constraint_options is not None and
       not cfg.constraint_options.apply_before_refinement)
-  if constraint_after and structure == refinement_ops.ROWNORM_TAIL:
-    # Constraint applied to the final (asymmetric) matrix breaks the
-    # D_r^{-1} S structure.
+  if constraint_after and (structure == refinement_ops.ROWNORM_TAIL
+                           or not cfg.constraint_symmetric):
+    # Constraint applied to the final matrix breaks the D_r^{-1} S structure;
+    # an asymmetric constraint breaks symmetry outright.
     structure = refinement_ops.GENERAL
   if not _descend(cfg):
     # Laplacian variants need a symmetric affinity input; the similarity
@@ -183,15 +197,8 @@ def refine_and_eigendecompose(
       w, u = eigen_ops.topk_eigh_subspace(
           sym_mat, k, jax.random.PRNGKey(42),
           num_iters=cfg.subspace_iters, largest=descend)
-      if vec_scale is not None:
-        v = vec_scale[:, None] * u
-        if n_valid is None:
-          norms = jnp.linalg.norm(v, axis=0)
-        else:
-          valid = (jnp.arange(v.shape[0]) < n_valid)[:, None]
-          norms = jnp.linalg.norm(jnp.where(valid, v, 0.0), axis=0)
-        u = v / jnp.where(norms > 0, norms, 1.0)
-      return w, u
+      return w, eigen_ops.recover_similarity_eigenvectors(u, vec_scale,
+                                                          n_valid)
     return eigen_ops.sorted_eigh_similarity(
         sym_mat, vec_scale, descend=descend, n_valid=n_valid)
 

@@ -41,8 +41,28 @@ class TestNativeBackend:
       ref = ahc.ahc_labels(d, linkage, k, thr)
     finally:
       ahc._native_ok = orig
-    np.testing.assert_equal(utils.enforce_ordered_labels(native),
-                            utils.enforce_ordered_labels(ref))
+    # Raw equality, not just same-partition: both backends first-appearance
+    # relabel, so consumers of raw ids (FallbackClusterer, NoDeflicker
+    # streaming) behave identically with and without the native build.
+    np.testing.assert_equal(native, ref)
+
+  @pytest.mark.skipif(not ahc_native.available(), reason="no native build")
+  def test_raw_labels_agree_fuzz(self):
+    rng = np.random.RandomState(7)
+    for _ in range(25):
+      n = rng.randint(2, 30)
+      d = ahc.cosine_distance_matrix(rng.randn(n, 5))
+      for linkage in ("complete", "average"):
+        kw = ({"n_clusters": int(rng.randint(1, n + 1))} if rng.rand() < 0.5
+              else {"distance_threshold": float(rng.uniform(0, 2))})
+        native = ahc.ahc_labels(d, linkage, **kw)
+        orig = ahc._native_ok
+        ahc._native_ok = lambda: False
+        try:
+          ref = ahc.ahc_labels(d, linkage, **kw)
+        finally:
+          ahc._native_ok = orig
+        np.testing.assert_equal(native, ref)
 
 
 class TestEdges:

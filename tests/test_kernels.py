@@ -36,10 +36,12 @@ class TestRowMaxKernel:
                                np.max(np.asarray(a), axis=1), atol=1e-6)
 
   def test_exclude_diagonal(self):
+    # exclude_diagonal = reference CropDiagonal semantics: diagonal replaced
+    # by 0 and *included* in the max (refinement.py:146-150).
     a = _mat(128)
     out = fused.row_max_pallas(a, exclude_diagonal=True, interpret=True)
     an = np.asarray(a).copy()
-    np.fill_diagonal(an, -np.inf)
+    np.fill_diagonal(an, 0.0)
     np.testing.assert_allclose(np.asarray(out)[:, 0], an.max(axis=1),
                                atol=1e-6)
 
@@ -50,6 +52,13 @@ class TestCropDiagonalKernel:
     a = _mat(128)
     ours = fused.crop_diagonal_pallas(a, interpret=True)
     ref = ref_ops.crop_diagonal(a)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-6)
+
+  def test_all_negative_matches_jnp(self):
+    a = _mat(128) - 10.0
+    ours = fused.crop_diagonal_pallas(a, interpret=True)
+    ref = ref_ops.crop_diagonal(a)
+    assert np.isfinite(np.asarray(ours)).all()
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-6)
 
 

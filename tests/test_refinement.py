@@ -25,6 +25,19 @@ class TestCropDiagonal:
     out = np.asarray(ref_ops.crop_diagonal(padded, n_valid=3))[:3, :3]
     np.testing.assert_equal(np.array([[3, 2, 3], [3, 5, 5], [4, 2, 4]]), out)
 
+  def test_all_negative_rows_match_reference(self):
+    # Reference zero-fills the diagonal and includes it in the row max
+    # (refinement.py:146-150), so all-negative rows get a 0 diagonal —
+    # reachable via a user-injected affinity_function.
+    neg = jnp.array([[-1.0, -2.0], [-3.0, -4.0]])
+    out = np.asarray(ref_ops.crop_diagonal(neg))
+    np.testing.assert_equal(np.array([[0.0, -2.0], [-3.0, 0.0]]), out)
+
+  def test_single_element(self):
+    out = np.asarray(ref_ops.crop_diagonal(jnp.array([[5.0]])))
+    np.testing.assert_equal(np.array([[0.0]]), out)
+    assert np.isfinite(out).all()
+
 
 class TestGaussianBlur:
 

@@ -278,3 +278,68 @@ class TestSubspaceEigensolver:
                           eigensolver=EigenSolver.SubspaceIteration)
     with pytest.raises(ValueError):
       c.predict(MATRIX_6x2)
+
+
+class TestAsymmetricConstraint:
+  """An asymmetric user constraint matrix must route to the general
+  eigensolver (eigh reads one triangle and would silently mis-cluster)."""
+
+  @staticmethod
+  def _data():
+    rng = np.random.RandomState(1)
+    centers = rng.randn(2, 16) * 3
+    emb = centers[np.repeat(np.arange(2), 12)] + rng.randn(24, 16) * 0.3
+    cm = rng.randn(24, 24) * 0.2
+    return emb, cm
+
+  @pytest.mark.parametrize("apply_before", [True, False])
+  def test_matches_reference(self, apply_before):
+    import sys
+    sys.path.insert(0, "/root/reference")
+    try:
+      import spectralcluster as ref
+    finally:
+      sys.path.pop(0)
+    from spectralcluster_tpu.types import (ConstraintName, ConstraintOptions)
+    emb, cm = self._data()
+    ref_clusterer = ref.SpectralClusterer(
+        min_clusters=2, max_clusters=4,
+        refinement_options=ref.RefinementOptions(
+            p_percentile=0.7,
+            refinement_sequence=[ref.RefinementName.RowWiseThreshold]),
+        constraint_options=ref.ConstraintOptions(
+            constraint_name=ref.ConstraintName.ConstraintPropagation,
+            apply_before_refinement=apply_before,
+            constraint_propagation_alpha=0.4))
+    expected = utils.enforce_ordered_labels(ref_clusterer.predict(emb, cm))
+    ours = SpectralClusterer(
+        min_clusters=2, max_clusters=4,
+        refinement_options=RefinementOptions(
+            p_percentile=0.7,
+            refinement_sequence=(RefinementName.RowWiseThreshold,)),
+        constraint_options=ConstraintOptions(
+            constraint_name=ConstraintName.ConstraintPropagation,
+            apply_before_refinement=apply_before,
+            constraint_propagation_alpha=0.4))
+    np.testing.assert_equal(
+        expected, utils.enforce_ordered_labels(ours.predict(emb, cm)))
+
+  def test_shape_mismatch_raises(self):
+    emb, cm = self._data()
+    c = SpectralClusterer(refinement_options=_refinement_options())
+    with pytest.raises(ValueError, match="square matrix matching"):
+      c.predict(emb, cm[:-1, :-1])
+
+  def test_tpu_solver_rejects_asymmetric(self):
+    from spectralcluster_tpu.types import (ConstraintName, ConstraintOptions,
+                                           EigenSolver)
+    emb, cm = self._data()
+    c = SpectralClusterer(
+        min_clusters=2, max_clusters=4,
+        refinement_options=_refinement_options(),
+        constraint_options=ConstraintOptions(
+            constraint_name=ConstraintName.ConstraintPropagation,
+            apply_before_refinement=True),
+        eigensolver=EigenSolver.Eigh)
+    with pytest.raises(ValueError, match="symmetric constraint"):
+      c.predict(emb, cm)
