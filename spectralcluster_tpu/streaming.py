@@ -133,6 +133,16 @@ class MultiStageClusterer:
   def cache(self):
     return self.state.cache
 
+  @property
+  def compression_labels(self):
+    """Reference-compatible accessor (multi_stage_clusterer.py:118)."""
+    return self.state.compression_labels
+
+  @property
+  def previous_output(self):
+    """Reference-compatible accessor (multi_stage_clusterer.py:123)."""
+    return self.state.previous_output
+
   def reset(self):
     self.state = MultiStageState()
 

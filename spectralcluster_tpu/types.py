@@ -152,6 +152,33 @@ class RefinementOptions:
   def replace(self, **kw) -> "RefinementOptions":
     return dataclasses.replace(self, **kw)
 
+  def get_refinement_operator(self, name: RefinementName):
+    """Reference-compatible operator factory (refinement.py:102-133).
+
+    Returns an object with ``refine(affinity) -> np.ndarray`` applying the
+    named op with these options (computed by the jnp twin of the op).
+    """
+
+    class _Operator:
+
+      def __init__(op_self, options, op_name):
+        op_self._options = options
+        op_self._name = op_name
+
+      def refine(op_self, affinity):
+        import numpy as np
+        from spectralcluster_tpu.ops import refinement as _refinement_ops
+        if getattr(affinity, "ndim", None) != 2 or (
+            affinity.shape[0] != affinity.shape[1]):
+          raise ValueError("affinity must be a 2-D square matrix")
+        return np.asarray(
+            _refinement_ops.apply_refinement_op(affinity, op_self._name,
+                                                op_self._options))
+
+    if not isinstance(name, RefinementName):
+      raise TypeError("name must be a RefinementName")
+    return _Operator(self, name)
+
 
 @dataclasses.dataclass(frozen=True)
 class ConstraintOptions:

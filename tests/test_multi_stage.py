@@ -209,3 +209,23 @@ class TestStreamingBatch:
     a = ms.streaming_predict(np.array(SCRIPT[8]))
     b = ms2.streaming_predict(np.array(SCRIPT[8]))
     np.testing.assert_equal(a, b)
+
+
+class TestReferenceAccessors:
+  """Reference-compatible attribute surface (multi_stage_clusterer.py:113-123)."""
+
+  def test_state_accessors(self):
+    from spectralcluster_tpu import configs
+    from spectralcluster_tpu.clusterer import SpectralClusterer
+    rng = np.random.RandomState(0)
+    ms = MultiStageClusterer(
+        main_clusterer=SpectralClusterer(
+            refinement_options=configs.icassp2018_refinement_options()),
+        L=3, U1=5, U2=7)
+    assert ms.num_embeddings == 0 and ms.cache is None
+    assert ms.compression_labels is None and ms.previous_output is None
+    for _ in range(8):
+      out = ms.streaming_predict(rng.randn(4))
+    assert ms.num_embeddings == 8
+    assert ms.compression_labels is not None
+    np.testing.assert_equal(np.asarray(ms.previous_output), np.asarray(out))

@@ -166,3 +166,26 @@ class TestApplySequence:
     # RowWiseNormalize makes every row max 1.
     np.testing.assert_allclose(np.max(np.asarray(out), axis=1), 1.0,
                                atol=1e-6)
+
+
+class TestGetRefinementOperator:
+  """Reference-compatible operator-object factory (refinement.py:102-133)."""
+
+  def test_all_ops_match_direct_application(self):
+    rng = np.random.RandomState(0)
+    a = rng.rand(8, 8)
+    opts = RefinementOptions(p_percentile=0.8)
+    for name in RefinementName:
+      op = opts.get_refinement_operator(name)
+      direct = np.asarray(ref_ops.apply_refinement_op(
+          jnp.asarray(a), name, opts))
+      np.testing.assert_allclose(op.refine(a), direct, atol=1e-6)
+
+  def test_input_validation(self):
+    import pytest
+    op = RefinementOptions().get_refinement_operator(
+        RefinementName.CropDiagonal)
+    with pytest.raises(ValueError):
+      op.refine(np.zeros(3))
+    with pytest.raises(TypeError):
+      RefinementOptions().get_refinement_operator("CropDiagonal")
