@@ -52,7 +52,8 @@ def bench_once(n, repeats=3, solver=None):
   cfg = pipeline.PipelineConfig(
       refinement_options=configs.icassp2018_refinement_options(),
       min_clusters=2, max_clusters=7, custom_dist="cosine", max_iter=300,
-      eigensolver=(EigenSolver[solver] if solver else EigenSolver.Auto))
+      eigensolver=(EigenSolver[solver] if solver else EigenSolver.Auto),
+      matmul_precision=os.environ.get("SCT_BENCH_PRECISION", "highest"))
   x = jnp.asarray(make_embeddings(n))
   key = jax.random.PRNGKey(0)
 
@@ -64,12 +65,14 @@ def bench_once(n, repeats=3, solver=None):
 
   fn = jax.jit(run)
   t0 = time.time()
-  labels, n_clusters = jax.block_until_ready(fn(x))
+  # device_get (not block_until_ready): on remote/tunneled backends only a
+  # result fetch reliably waits for the full device execution.
+  labels, n_clusters = jax.device_get(fn(x))
   compile_s = time.time() - t0
   times = []
   for _ in range(repeats):
     t0 = time.time()
-    jax.block_until_ready(fn(x))
+    jax.device_get(fn(x))
     times.append(time.time() - t0)
   return float(np.median(times)), compile_s, int(n_clusters)
 

@@ -16,6 +16,7 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 import jax
+import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
@@ -41,9 +42,12 @@ def main(batch=16, n=1024, d=256):
   cfg = pipeline.PipelineConfig(
       refinement_options=configs.icassp2018_refinement_options(),
       min_clusters=2, max_clusters=7, custom_dist="cosine", max_iter=300,
-      eigensolver=(EigenSolver[solver] if solver else EigenSolver.Auto))
+      eigensolver=(EigenSolver[solver] if solver else EigenSolver.Auto),
+      matmul_precision=os.environ.get("SCT_BATCH_PRECISION", "highest"))
   mesh = mesh_lib.make_mesh()
 
+  # End-to-end from host arrays (includes host->device staging; through this
+  # sandbox's tunnel that transfer is ~40 ms/MB and dominates).
   t0 = time.time()
   batch_lib.cluster_batch(utts, cfg, mesh=mesh)
   compile_s = time.time() - t0
@@ -52,10 +56,27 @@ def main(batch=16, n=1024, d=256):
     t0 = time.time()
     batch_lib.cluster_batch(utts, cfg, mesh=mesh)
     times.append(time.time() - t0)
-  steady = float(np.median(times))
+  e2e = float(np.median(times))
+
+  # Device-resident compute: inputs staged once, outputs (labels) fetched
+  # every call — what a serving deployment with async input streaming sees.
+  fn = batch_lib.make_batched_cluster_fn(cfg, mesh)
+  batch_arr = jnp.asarray(np.stack(utts))
+  n_valid = jnp.asarray(np.full((batch,), n, np.int32))
+  keys = jax.vmap(jax.random.PRNGKey)(np.arange(batch))
+  jax.device_get(fn(batch_arr, n_valid, keys))
+  times = []
+  for _ in range(5):
+    t0 = time.time()
+    jax.device_get(fn(batch_arr, n_valid, keys))
+    times.append(time.time() - t0)
+  resident = float(np.median(times))
+
   print(f"devices={len(jax.devices())} batch={batch} N={n} d={d} "
-        f"compile={compile_s:.1f}s steady={steady:.3f}s "
-        f"=> {batch / steady:.1f} utterances/s")
+        f"compile={compile_s:.1f}s e2e={e2e:.3f}s "
+        f"resident={resident:.3f}s "
+        f"=> {batch / e2e:.1f} utt/s e2e, "
+        f"{batch / resident:.1f} utt/s device-resident")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,107 @@
+"""Decompose the batched pipeline's steady-state cost by stage.
+
+Times four nested prefixes of the vmapped single-chip pipeline at the
+bench_batch.py shapes (batch x N x d), plus a no-op dispatch to measure the
+sandbox's host<->device RTT floor:
+
+  rtt      : jnp.sum of the input (dispatch + transfer floor)
+  refine   : affinity + 5-op refinement + similarity symmetrization
+  eigen    : + top-k subspace eigensolver (or full eigh with SCT_BATCH_SOLVER)
+  full     : + eigengap + masked K-Means (the complete fixed-k step)
+
+Usage: [SCT_BATCH_SOLVER=Eigh] python benchmarks/profile_stages.py [batch] [n]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+from spectralcluster_tpu import configs, pipeline
+from spectralcluster_tpu.ops import eigen as eigen_ops
+from spectralcluster_tpu.ops import refinement as refinement_ops
+from spectralcluster_tpu.precision import precise
+from spectralcluster_tpu.types import EigenSolver
+
+
+def main(batch=16, n=1024, d=256):
+  solver = os.environ.get("SCT_BATCH_SOLVER", "SubspaceIteration")
+  cfg = pipeline.PipelineConfig(
+      refinement_options=configs.icassp2018_refinement_options(),
+      min_clusters=2, max_clusters=7, custom_dist="cosine", max_iter=300,
+      eigensolver=EigenSolver[solver])
+  rng = np.random.RandomState(0)
+  x = jnp.asarray(rng.randn(batch, n, d).astype(np.float32))
+
+  def upto_sym(emb):
+    affinity = pipeline.prepare_affinity(emb, cfg)
+    seq = cfg.refinement_options.refinement_sequence
+    s = refinement_ops.apply_refinement_sequence(
+        affinity, cfg.refinement_options, sequence=seq[:-1],
+        use_pallas=cfg.use_pallas)
+    dscale = refinement_ops.row_max_scale(s, None)
+    inv_sqrt = 1.0 / jnp.sqrt(dscale)
+    return inv_sqrt[:, None] * s * inv_sqrt[None, :], inv_sqrt
+
+  def refine_only(emb):
+    m, _ = upto_sym(emb)
+    return jnp.sum(m)
+
+  def eigen_stage(emb):
+    m, inv_sqrt = upto_sym(emb)
+    if cfg.eigensolver == EigenSolver.SubspaceIteration:
+      w, u = eigen_ops.topk_eigh_subspace(
+          m, cfg.max_clusters + 1, jax.random.PRNGKey(42),
+          num_iters=cfg.subspace_iters, largest=True)
+    else:
+      w, u = eigen_ops.sorted_eigh(m, descend=True)
+    return jnp.sum(w), jnp.sum(u)
+
+  def full(emb):
+    labels, n_clusters, _, _ = pipeline.spectral_cluster_fixed_k(
+        emb, jax.random.PRNGKey(0), cfg)
+    return labels, n_clusters
+
+  stages = {
+      "rtt": jax.jit(lambda e: jnp.sum(e)),
+      "refine": jax.jit(jax.vmap(precise(refine_only))),
+      "eigen": jax.jit(jax.vmap(precise(eigen_stage))),
+      "full": jax.jit(jax.vmap(precise(full))),
+  }
+  print("backend:", jax.devices()[0].platform, jax.devices()[0].device_kind,
+        flush=True)
+  results = {}
+  for name, fn in stages.items():
+    t0 = time.time()
+    jax.device_get(fn(x))
+    compile_s = time.time() - t0
+    times = []
+    for _ in range(5):
+      t0 = time.time()
+      jax.device_get(fn(x))   # fetch forces full execution on remote backends
+      times.append(time.time() - t0)
+    results[name] = float(np.median(times))
+    print(f"{name:8s} steady={results[name]*1e3:8.1f} ms "
+          f"(compile {compile_s:.1f}s)", flush=True)
+
+  rtt = results["rtt"]
+  print(f"\nincremental (RTT-corrected, batch={batch} N={n} d={d} "
+        f"solver={solver}):")
+  print(f"  affinity+refine : {(results['refine'] - rtt)*1e3:8.1f} ms")
+  print(f"  eigensolver     : {(results['eigen'] - results['refine'])*1e3:8.1f} ms")
+  print(f"  gap+kmeans      : {(results['full'] - results['eigen'])*1e3:8.1f} ms")
+  print(f"  RTT floor       : {rtt*1e3:8.1f} ms")
+
+
+if __name__ == "__main__":
+  args = [int(a) for a in sys.argv[1:]]
+  main(*args)

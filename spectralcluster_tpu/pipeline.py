@@ -113,6 +113,13 @@ class PipelineConfig:
   # Use the fused Pallas kernels (kernels/fused.py) for the hot refinement
   # stages on TPU backends; falls back to jnp where patterns don't apply.
   use_pallas: bool = True
+  # MXU precision for every matmul in the pipeline ("highest" = 6-pass bf16
+  # == full f32; "high" = 3-pass bf16, ~2x faster on the O(N^3) Diffuse and
+  # affinity matmuls with ~2^-21 relative error — label-equivalent on
+  # non-adversarial inputs but not bit-parity; "default" = raw bf16, unsafe
+  # here, see precision.py). Applied as a trace-time context inside the
+  # pipeline entry points, so it overrides the callers' `precise` wrapper.
+  matmul_precision: str = "highest"
   # Iterations for EigenSolver.SubspaceIteration (top-k randomized subspace
   # power iteration — O(N²k) instead of full eigh's O(N³); only the
   # max_clusters+1 extreme eigenpairs the eigengap ever reads are computed).
@@ -172,6 +179,18 @@ def refine_and_eigendecompose(
   108-168) with the TPU eigh restructurings. Returns traced
   (eigenvalues, eigenvectors, n_clusters, max_delta_norm).
   """
+  with jax.default_matmul_precision(cfg.matmul_precision):
+    return _refine_and_eigendecompose(affinity, cfg, p_percentile,
+                                      constraint_matrix, n_valid)
+
+
+def _refine_and_eigendecompose(
+    affinity: jnp.ndarray,
+    cfg: PipelineConfig,
+    p_percentile=None,
+    constraint_matrix: typing.Optional[jnp.ndarray] = None,
+    n_valid=None,
+) -> typing.Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
   ropts = cfg.refinement_options
   seq = ropts.refinement_sequence or ()
   with_constraint = constraint_matrix is not None
@@ -273,6 +292,13 @@ def prepare_affinity(
     affinity_function: typing.Optional[typing.Callable] = None,
 ) -> jnp.ndarray:
   """Affinity construction + constraint-before-refinement, masked."""
+  with jax.default_matmul_precision(cfg.matmul_precision):
+    return _prepare_affinity(embeddings, cfg, constraint_matrix, n_valid,
+                             affinity_function)
+
+
+def _prepare_affinity(embeddings, cfg, constraint_matrix=None, n_valid=None,
+                      affinity_function=None):
   if affinity_function is not None:
     affinity = affinity_function(embeddings)
   elif (cfg.use_pallas and refinement_ops._pallas_applicable(embeddings)
@@ -328,6 +354,13 @@ def spectral_cluster_fixed_k(
   n_valid) receive label 0 and weight 0 throughout. Returns traced
   (labels, n_clusters, eigenvalues, max_delta_norm).
   """
+  with jax.default_matmul_precision(cfg.matmul_precision):
+    return _spectral_cluster_fixed_k(embeddings, key, cfg, constraint_matrix,
+                                     n_valid, kmeans_tol)
+
+
+def _spectral_cluster_fixed_k(embeddings, key, cfg, constraint_matrix=None,
+                              n_valid=None, kmeans_tol=0.001):
   if cfg.max_clusters is None:
     raise ValueError(
         "spectral_cluster_fixed_k requires max_clusters (static k cap); "
