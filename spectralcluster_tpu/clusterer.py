@@ -30,6 +30,7 @@ from spectralcluster_tpu import ahc as ahc_lib
 from spectralcluster_tpu import fallback as fallback_lib
 from spectralcluster_tpu import pipeline as pipeline_lib
 from spectralcluster_tpu import utils
+from spectralcluster_tpu.observability import StageTimings
 from spectralcluster_tpu.autotune import AutoTune
 from spectralcluster_tpu.ops import affinity as affinity_ops
 from spectralcluster_tpu.ops import kmeans as kmeans_ops
@@ -135,13 +136,23 @@ class SpectralClusterer:
   @staticmethod
   @functools.lru_cache(maxsize=64)
   def _eig_batched_fn(cfg: pipeline_lib.PipelineConfig, with_constraint: bool):
-    """Jitted vmap over candidate p_percentiles — one batched eigh."""
+    """Jitted vmap over candidate p_percentiles — one batched eigh.
+
+    When max_clusters is set, the returned eigenvector stacks are trimmed
+    on-device to the k columns downstream K-Means can ever read — transfers
+    (B, N, k) instead of (B, N, N) back to the host per search level.
+    """
+    k_cap = None
+    if cfg.max_clusters is not None:
+      k_cap = max(cfg.max_clusters, cfg.min_clusters or 0)
 
     def one(affinity, n_valid, constraint_matrix, p):
       w, v, n, delta = pipeline_lib.refine_and_eigendecompose(
           affinity, cfg, p_percentile=p,
           constraint_matrix=constraint_matrix, n_valid=n_valid)
-      return v, n, delta
+      if k_cap is not None:
+        v = v[:, :k_cap]
+      return w, v, n, delta
 
     if with_constraint:
       return precise_jit(
@@ -166,10 +177,19 @@ class SpectralClusterer:
     return precise_jit(run)
 
   def _fast_path_applicable(self, constraint_matrix) -> bool:
+    # Mahalanobis is the one metric that is not row-local: scipy's default
+    # VI is the inverse covariance of vstack([X, centroids])
+    # (custom_distance_kmeans.py:123-125), so the fast path's padded zero
+    # rows and surplus centroid slots would change VI for the *valid* rows.
+    # run_kmeans special-cases it host-side (ops/kmeans.py); route there.
+    # User callables are safe: get_distance_fn vmaps them pairwise, so padded
+    # rows cannot influence valid rows' distances.
+    padding_safe_metric = self.custom_dist != "mahalanobis"
     return (self.autotune is None and constraint_matrix is None
             and self.max_clusters is not None
             and self.affinity_function is None
             and self.post_eigen_cluster_function is None
+            and padding_safe_metric
             and self.min_clusters != 1)
 
   @staticmethod
@@ -198,7 +218,20 @@ class SpectralClusterer:
   def _eig_stage(self, affinity, constraint_matrix=None, p_percentile=None,
                  cfg=None):
     """Like _compute_eigenvectors_ncluster but also returns eigenvalues."""
-    cfg = cfg if cfg is not None else self._config()
+    if cfg is None:
+      cfg = self._config()
+      if constraint_matrix is not None:
+        # Same host-side symmetry routing as predict(): an asymmetric
+        # constraint must not feed eigh a one-triangle view (the white-box
+        # path is reachable directly, reference spectral_clusterer.py:108).
+        cm = np.asarray(constraint_matrix)
+        constraint_symmetric = bool(np.array_equal(cm, cm.T))
+        if not constraint_symmetric and self.eigensolver in (
+            EigenSolver.Eigh, EigenSolver.SubspaceIteration):
+          raise ValueError(
+              f"EigenSolver.{self.eigensolver.name} requires a symmetric "
+              "constraint matrix; use EigenSolver.Auto or HostGeneral.")
+        cfg = cfg.replace(constraint_symmetric=constraint_symmetric)
     num = np.asarray(affinity).shape[0]
     aff_padded, n_valid = self._pad_square(np.asarray(affinity))
     with_c = constraint_matrix is not None
@@ -243,6 +276,7 @@ class SpectralClusterer:
       self,
       embeddings: np.ndarray,
       constraint_matrix: typing.Optional[np.ndarray] = None) -> ClusterResult:
+    timings = StageTimings()
     if not isinstance(embeddings, (np.ndarray, jnp.ndarray)):
       raise TypeError("embeddings must be a numpy array")
     if len(embeddings.shape) != 2:
@@ -273,9 +307,11 @@ class SpectralClusterer:
     # Tiny inputs: fallback clusterer (spectral_clusterer.py:230-234).
     if num_embeddings < self.fallback_options.spectral_min_embeddings:
       clusterer = fallback_lib.FallbackClusterer(self.fallback_options)
-      labels = clusterer.predict(embeddings)
+      with timings.stage("fallback"):
+        labels = clusterer.predict(embeddings)
       return ClusterResult(labels=labels,
-                           n_clusters=int(np.unique(labels).size))
+                           n_clusters=int(np.unique(labels).size),
+                           timings=timings.as_dict())
 
     # Oversized inputs: AHC reduction (spectral_clusterer.py:236-247).
     if (self.max_spectral_size is not None
@@ -288,9 +324,11 @@ class SpectralClusterer:
           or
           (self.min_clusters and self.max_spectral_size <= self.min_clusters)):
         raise ValueError("max_spectral_size should be a relatively big number")
-      labels = self._reduce_size_and_predict(embeddings)
+      with timings.stage("ahc_reduce"):
+        labels = self._reduce_size_and_predict(embeddings)
       return ClusterResult(labels=labels,
-                           n_clusters=int(np.unique(labels).size))
+                           n_clusters=int(np.unique(labels).size),
+                           timings=timings.as_dict())
 
     cfg = self._config()
 
@@ -299,27 +337,33 @@ class SpectralClusterer:
       n_pad = pipeline_lib.pad_bucket(num_embeddings)
       x = np.zeros((n_pad, embeddings.shape[1]), dtype=np.float32)
       x[:num_embeddings] = embeddings
-      labels, n_clusters, eigenvalues, max_delta = self._fast_fn(cfg)(
-          jnp.asarray(x), jnp.asarray(num_embeddings, jnp.int32),
-          jax.random.PRNGKey(self.seed))
+      with timings.stage("pipeline"):
+        labels, n_clusters, eigenvalues, max_delta = self._fast_fn(cfg)(
+            jnp.asarray(x), jnp.asarray(num_embeddings, jnp.int32),
+            jax.random.PRNGKey(self.seed))
+        labels = np.asarray(labels)
       return ClusterResult(
-          labels=np.asarray(labels)[:num_embeddings],
+          labels=labels[:num_embeddings],
           n_clusters=int(n_clusters),
           eigenvalues=np.asarray(eigenvalues)[:num_embeddings],
-          max_delta_norm=float(max_delta))
+          max_delta_norm=float(max_delta),
+          timings=timings.as_dict())
 
-    if self.affinity_function is None:
-      affinity = np.asarray(
-          _AFFINITY_JIT(jnp.asarray(embeddings, dtype=jnp.float32)))
-    else:
-      affinity = np.asarray(self.affinity_function(embeddings))
+    with timings.stage("affinity"):
+      if self.affinity_function is None:
+        affinity = np.asarray(
+            _AFFINITY_JIT(jnp.asarray(embeddings, dtype=jnp.float32)))
+      else:
+        affinity = np.asarray(self.affinity_function(embeddings))
 
     # Single-vs-multi cluster decision (spectral_clusterer.py:253-256).
     if self.min_clusters == 1:
-      if fallback_lib.check_single_cluster(self.fallback_options, embeddings,
-                                           affinity):
+      with timings.stage("single_cluster_check"):
+        single = fallback_lib.check_single_cluster(self.fallback_options,
+                                                   embeddings, affinity)
+      if single:
         return ClusterResult(labels=np.zeros(num_embeddings, dtype=np.int64),
-                             n_clusters=1)
+                             n_clusters=1, timings=timings.as_dict())
 
     # Constraint before refinement (spectral_clusterer.py:259-264).
     cm_for_stage = None
@@ -327,9 +371,10 @@ class SpectralClusterer:
       if (self.constraint_options is not None
           and self.constraint_options.apply_before_refinement):
         adjust = _adjust_affinity_jit(self.constraint_options)
-        affinity = np.asarray(
-            adjust(jnp.asarray(affinity, dtype=jnp.float32),
-                   jnp.asarray(constraint_matrix, dtype=jnp.float32)))
+        with timings.stage("constraint"):
+          affinity = np.asarray(
+              adjust(jnp.asarray(affinity, dtype=jnp.float32),
+                     jnp.asarray(constraint_matrix, dtype=jnp.float32)))
         if not constraint_symmetric:
           # The adjusted affinity is now asymmetric; let the static symmetry
           # analysis decide whether the refinement sequence restores symmetry.
@@ -351,24 +396,35 @@ class SpectralClusterer:
       if cm_for_stage is not None:
         cm_padded, _ = self._pad_square(cm_for_stage)
 
+      # Eigenvalues/eigengap per candidate, keyed by p so the winner's
+      # observability fields survive tune_batched (which only returns
+      # eigenvectors/n_clusters/best_p, reference autotune.py:76-132).
+      eig_details: dict = {}
+
       def batch_eval(ps: np.ndarray):
         ps_j = jnp.asarray(ps, dtype=jnp.float32)
         if cm_for_stage is not None:
-          v, n, delta = batched(aff_padded, n_valid_j, cm_padded, ps_j)
+          w, v, n, delta = batched(aff_padded, n_valid_j, cm_padded, ps_j)
         else:
-          v, n, delta = batched(aff_padded, n_valid_j, ps_j)
+          w, v, n, delta = batched(aff_padded, n_valid_j, ps_j)
         delta = np.asarray(delta)
+        w = np.asarray(w)
+        for p, wi, di in zip(ps, w, delta):
+          eig_details[float(p)] = (wi[:num_embeddings], float(di))
         ratios = np.array([
             self.autotune.ratio_from_proxy(p, d) for p, d in zip(ps, delta)
         ])
         return ratios, np.asarray(v)[:, :num_embeddings, :num_embeddings], (
             np.asarray(n))
 
-      eigenvectors, n_clusters, best_p = self.autotune.tune_batched(batch_eval)
-      eigenvalues, max_delta = None, 0.0
+      with timings.stage("eig"):
+        eigenvectors, n_clusters, best_p = self.autotune.tune_batched(
+            batch_eval)
+      eigenvalues, max_delta = eig_details[best_p]
     else:
-      eigenvectors, n_clusters, max_delta, eigenvalues = (
-          self._eig_stage(affinity, cm_for_stage, cfg=cfg))
+      with timings.stage("eig"):
+        eigenvectors, n_clusters, max_delta, eigenvalues = (
+            self._eig_stage(affinity, cm_for_stage, cfg=cfg))
 
     if self.min_clusters is not None:
       n_clusters = max(n_clusters, self.min_clusters)
@@ -379,22 +435,24 @@ class SpectralClusterer:
       spectral_embeddings = spectral_embeddings / rows_norm.reshape(
           num_embeddings, 1)
 
-    if self.post_eigen_cluster_function is not None:
-      labels = self.post_eigen_cluster_function(
-          spectral_embeddings=spectral_embeddings,
-          n_clusters=n_clusters,
-          custom_dist=self.custom_dist,
-          max_iter=self.max_iter)
-    else:
-      labels = kmeans_ops.run_kmeans(
-          spectral_embeddings=spectral_embeddings,
-          n_clusters=n_clusters,
-          custom_dist=self.custom_dist,
-          max_iter=self.max_iter,
-          key=jax.random.PRNGKey(self.seed))
+    with timings.stage("kmeans"):
+      if self.post_eigen_cluster_function is not None:
+        labels = self.post_eigen_cluster_function(
+            spectral_embeddings=spectral_embeddings,
+            n_clusters=n_clusters,
+            custom_dist=self.custom_dist,
+            max_iter=self.max_iter)
+      else:
+        labels = kmeans_ops.run_kmeans(
+            spectral_embeddings=spectral_embeddings,
+            n_clusters=n_clusters,
+            custom_dist=self.custom_dist,
+            max_iter=self.max_iter,
+            key=jax.random.PRNGKey(self.seed))
     return ClusterResult(
         labels=np.asarray(labels),
         n_clusters=int(n_clusters),
         eigenvalues=eigenvalues,
         max_delta_norm=float(max_delta) if max_delta is not None else 0.0,
-        best_p_percentile=best_p)
+        best_p_percentile=best_p,
+        timings=timings.as_dict())

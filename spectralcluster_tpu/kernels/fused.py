@@ -142,7 +142,7 @@ def _thresh_sym_kernel(a_ref, atile_ref, rmax_ref, cmax_ref, out_ref, *,
   a = a_ref[:]            # tile (i, j) of A
   at = atile_ref[:].T     # tile (j, i) of A, transposed in VMEM == A^T[i, j]
   rmax = rmax_ref[:]      # (t, 1) row maxima for rows of this tile
-  cmax = cmax_ref[:].T    # (t, 1) row maxima for rows j (columns of the tile)
+  cmax = cmax_ref[:].T    # (1, t) row maxima for rows j (the tile's columns)
 
   def thresh(x, m):
     is_smaller = x < m * p_percentile

@@ -39,8 +39,13 @@ class StageTimings:
 
 
 @contextlib.contextmanager
-def profile_trace(log_dir: str):
-  """Capture a jax.profiler trace of the enclosed block."""
+def profile_trace(log_dir: str, host_trace: bool = True):
+  """Capture a jax.profiler trace of the enclosed block.
+
+  ``host_trace`` is accepted (and ignored) for backward compatibility:
+  jax.profiler.trace always records both host and device activity.
+  """
+  del host_trace
   with jax.profiler.trace(log_dir, create_perfetto_link=False):
     yield
 

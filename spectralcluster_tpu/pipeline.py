@@ -42,18 +42,28 @@ from spectralcluster_tpu.types import (ConstraintOptions, EigenGapType,
                                        RefinementOptions)
 
 
+# Geometric bucket growth factor above 512 (snapped up to multiples of 256).
+# 1.25 keeps the compile count truly O(log N) — 10 buckets from 512 to 4096,
+# ~16 to 20480 — while capping padding overhead at 25% of N.
+_BUCKET_GROWTH = 1.25
+
+
 def pad_bucket(n: int) -> int:
   """Round a problem size up to a shape bucket.
 
   Shape-bucketed padding keeps the number of XLA compilations logarithmic in
   N (crucial for streaming, where N grows by 1 per step) while bounding
-  padding overhead: powers of two up to 512, then multiples of 256.
+  padding overhead: powers of two up to 512, then a geometric ladder
+  (×_BUCKET_GROWTH, snapped up to multiples of 256 for TPU tiling).
   """
   if n <= 8:
     return 8
   if n <= 512:
     return 1 << (n - 1).bit_length()
-  return -(-n // 256) * 256
+  b = 512
+  while b < n:
+    b = -(-int(b * _BUCKET_GROWTH) // 256) * 256
+  return b
 
 
 @dataclasses.dataclass(frozen=True)
@@ -123,7 +133,14 @@ class PipelineConfig:
   # Iterations for EigenSolver.SubspaceIteration (top-k randomized subspace
   # power iteration — O(N²k) instead of full eigh's O(N³); only the
   # max_clusters+1 extreme eigenpairs the eigengap ever reads are computed).
+  # ``subspace_iters`` is the initial (and escalation-chunk) count; when the
+  # worst top-k Ritz residual stays above ``subspace_residual_tol`` the
+  # iteration escalates in-graph up to ``subspace_max_iters`` — weak-eigengap
+  # spectra can silently mis-rank eigenvalues at a fixed 24 iterations
+  # (ops/eigen.py topk_eigh_subspace). Set the tol to None to disable.
   subspace_iters: int = 24
+  subspace_residual_tol: typing.Optional[float] = 2e-3
+  subspace_max_iters: int = 384
   # In-graph auto-tune (level-1 candidate sweep) for the fully-jitted paths;
   # the host-orchestrated SpectralClusterer uses autotune.AutoTune instead.
   autotune: typing.Optional[AutoTuneStatic] = None
@@ -215,7 +232,9 @@ def _refine_and_eigendecompose(
       k = cfg.max_clusters + 1
       w, u = eigen_ops.topk_eigh_subspace(
           sym_mat, k, jax.random.PRNGKey(42),
-          num_iters=cfg.subspace_iters, largest=descend)
+          num_iters=cfg.subspace_iters, largest=descend,
+          residual_tol=cfg.subspace_residual_tol,
+          max_iters=cfg.subspace_max_iters)
       return w, eigen_ops.recover_similarity_eigenvectors(u, vec_scale,
                                                           n_valid)
     return eigen_ops.sorted_eigh_similarity(

@@ -158,26 +158,33 @@ class RefinementOptions:
     Returns an object with ``refine(affinity) -> np.ndarray`` applying the
     named op with these options (computed by the jnp twin of the op).
     """
-
-    class _Operator:
-
-      def __init__(op_self, options, op_name):
-        op_self._options = options
-        op_self._name = op_name
-
-      def refine(op_self, affinity):
-        import numpy as np
-        from spectralcluster_tpu.ops import refinement as _refinement_ops
-        if getattr(affinity, "ndim", None) != 2 or (
-            affinity.shape[0] != affinity.shape[1]):
-          raise ValueError("affinity must be a 2-D square matrix")
-        return np.asarray(
-            _refinement_ops.apply_refinement_op(affinity, op_self._name,
-                                                op_self._options))
-
     if not isinstance(name, RefinementName):
       raise TypeError("name must be a RefinementName")
-    return _Operator(self, name)
+    return _RefinementOperator(self, name)
+
+
+class _RefinementOperator:
+  """Reference-compatible refinement operator (refinement.py:39-133).
+
+  Module-scope (constructed once per get_refinement_operator call, like the
+  reference's class-per-name instances) with the reference check_input
+  semantics: TypeError for non-ndarray input, ValueError for non-square.
+  """
+
+  def __init__(self, options: "RefinementOptions", name: RefinementName):
+    self._options = options
+    self._name = name
+
+  def refine(self, affinity):
+    import numpy as np
+    from spectralcluster_tpu.ops import refinement as _refinement_ops
+    if not isinstance(affinity, np.ndarray):
+      raise TypeError("affinity must be a numpy array")
+    if affinity.ndim != 2 or affinity.shape[0] != affinity.shape[1]:
+      raise ValueError("affinity must be a 2-D square matrix")
+    return np.asarray(
+        _refinement_ops.apply_refinement_op(affinity, self._name,
+                                            self._options))
 
 
 @dataclasses.dataclass(frozen=True)

@@ -188,4 +188,7 @@ class TestGetRefinementOperator:
     with pytest.raises(ValueError):
       op.refine(np.zeros(3))
     with pytest.raises(TypeError):
+      # Reference check_input (refinement.py:52-56) rejects non-ndarrays.
+      op.refine([[1.0, 0.5], [0.5, 1.0]])
+    with pytest.raises(TypeError):
       RefinementOptions().get_refinement_operator("CropDiagonal")

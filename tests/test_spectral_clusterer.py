@@ -343,3 +343,54 @@ class TestAsymmetricConstraint:
         eigensolver=EigenSolver.Eigh)
     with pytest.raises(ValueError, match="symmetric constraint"):
       c.predict(emb, cm)
+
+  def test_white_box_path_routes_asymmetric(self):
+    # The direct _compute_eigenvectors_ncluster path must apply the same
+    # host-side symmetry routing as predict() (round-1 advisor finding):
+    # an asymmetric constraint with the default cfg must not silently feed
+    # eigh a one-triangle view.
+    import sys
+    sys.path.insert(0, "/root/reference")
+    try:
+      import spectralcluster as ref
+    finally:
+      sys.path.pop(0)
+    from spectralcluster_tpu.types import (ConstraintName, ConstraintOptions,
+                                           EigenSolver)
+    emb, cm = self._data()
+    from spectralcluster_tpu.ops import affinity as affinity_ops
+    import jax.numpy as jnp
+    aff = np.asarray(affinity_ops.compute_affinity_matrix(
+        jnp.asarray(emb, jnp.float32)))
+
+    copts = ConstraintOptions(
+        constraint_name=ConstraintName.ConstraintPropagation,
+        apply_before_refinement=False, constraint_propagation_alpha=0.4)
+    ours = SpectralClusterer(
+        min_clusters=2, max_clusters=4,
+        refinement_options=RefinementOptions(
+            p_percentile=0.7,
+            refinement_sequence=(RefinementName.RowWiseThreshold,
+                                 RefinementName.Symmetrize)),
+        constraint_options=copts)
+    theirs = ref.SpectralClusterer(
+        min_clusters=2, max_clusters=4,
+        refinement_options=ref.RefinementOptions(
+            p_percentile=0.7,
+            refinement_sequence=[ref.RefinementName.RowWiseThreshold,
+                                 ref.RefinementName.Symmetrize]),
+        constraint_options=ref.ConstraintOptions(
+            constraint_name=ref.ConstraintName.ConstraintPropagation,
+            apply_before_refinement=False,
+            constraint_propagation_alpha=0.4))
+    _, n_ref, d_ref = theirs._compute_eigenvectors_ncluster(aff.copy(), cm)
+    _, n_ours, d_ours = ours._compute_eigenvectors_ncluster(aff, cm)
+    assert n_ours == n_ref
+    np.testing.assert_allclose(d_ours, d_ref, rtol=5e-3)
+    # And the TPU-only solvers still refuse the asymmetric constraint here.
+    strict = SpectralClusterer(
+        min_clusters=2, max_clusters=4,
+        refinement_options=_refinement_options(),
+        constraint_options=copts, eigensolver=EigenSolver.Eigh)
+    with pytest.raises(ValueError, match="symmetric constraint"):
+      strict._compute_eigenvectors_ncluster(aff, cm)
