@@ -101,7 +101,8 @@ def make_sharded_cluster_fn(cfg: pipeline_lib.PipelineConfig, mesh,
 
     w, u = eigen_ops.topk_eigh_subspace(
         mat, k, key, num_iters=num_iters, oversample=oversample,
-        largest=descend)
+        largest=descend, residual_tol=cfg.subspace_residual_tol,
+        max_iters=cfg.subspace_max_iters)
     v = eigen_ops.recover_similarity_eigenvectors(u, vec_scale)
     w = eigen_ops.snap_small_eigenvalues(w, tol=cfg.eigenvalue_snap_tol)
     if not descend and cfg.eigengap_type == EigenGapType.NormalizedDiff:
