@@ -1,7 +1,7 @@
 """Benchmark: end-to-end spectral clustering throughput vs the NumPy reference.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
 The headline metric is end-to-end icassp2018 clustering speedup at the
 largest measured size (d=256 synthetic 2-speaker embeddings) over the
@@ -9,7 +9,21 @@ reference's NumPy/LAPACK pipeline on this host (recorded once into
 benchmarks/baseline_numpy.json by benchmarks/measure_numpy_baseline.py —
 the reference publishes no numbers of its own, SURVEY.md §6).
 
+Quality bit: every reported speedup is verified against the reference's own
+labels on the same fixture (benchmarks/reference_labels.npz, recorded by
+benchmarks/record_reference_labels.py) via permutation-invariant comparison
+— a speedup only counts if the answer matches (VERDICT r1 item 1). The JSON
+carries "parity": true/false per measured solver.
+
+Measures BOTH eigensolvers at the bench size:
+  * full eigh — the exact-parity path (same O(N^3) algorithm class as the
+    reference's np.linalg.eig, reference utils.py:59);
+  * SubspaceIteration — the O(N^2 k) top-k path (residual-gated; computes
+    only the max_clusters+1 eigenpairs the eigengap reads).
+
 Runs on whatever backend jax selects (the real TPU chip under the driver).
+Env knobs: SCT_BENCH_N, SCT_BENCH_SOLVER (limit to one solver),
+SCT_BENCH_PRECISION.
 """
 
 import json
@@ -32,12 +46,12 @@ jax.config.update(
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
-from spectralcluster_tpu import configs, pipeline
+from spectralcluster_tpu import configs, pipeline, utils
 from spectralcluster_tpu.precision import precise
 
-BASELINE_PATH = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)),
-    "benchmarks", "baseline_numpy.json")
+_HERE = os.path.dirname(os.path.abspath(__file__))
+BASELINE_PATH = os.path.join(_HERE, "benchmarks", "baseline_numpy.json")
+REF_LABELS_PATH = os.path.join(_HERE, "benchmarks", "reference_labels.npz")
 
 
 def make_embeddings(n, d=256, k=2, seed=0):
@@ -45,6 +59,15 @@ def make_embeddings(n, d=256, k=2, seed=0):
   centers = rng.randn(k, d) * 3
   labels = np.repeat(np.arange(k), n // k)
   return (centers[labels] + rng.randn(n, d) * 0.4).astype(np.float32)
+
+
+def reference_labels(n):
+  """Recorded reference labels for the bench fixture (or None)."""
+  if not os.path.exists(REF_LABELS_PATH):
+    return None
+  with np.load(REF_LABELS_PATH) as z:
+    key = f"labels_{n}"
+    return z[key] if key in z.files else None
 
 
 def bench_once(n, repeats=3, solver=None):
@@ -72,47 +95,70 @@ def bench_once(n, repeats=3, solver=None):
   times = []
   for _ in range(repeats):
     t0 = time.time()
-    jax.device_get(fn(x))
+    labels, n_clusters = jax.device_get(fn(x))
     times.append(time.time() - t0)
-  return float(np.median(times)), compile_s, int(n_clusters)
+
+  ref = reference_labels(n)
+  parity = None
+  if ref is not None:
+    parity = bool(np.array_equal(utils.enforce_ordered_labels(labels),
+                                 np.asarray(ref, np.int64)))
+  return float(np.median(times)), compile_s, int(n_clusters), parity
 
 
 def main():
   with open(BASELINE_PATH) as f:
     baseline = json.load(f)["results"]
   sizes = sorted(int(k) for k in baseline)
-  # Default N=2048: largest size whose cold XLA compile (~2 min through this
-  # environment's remote-compile tunnel) fits a bench budget; N=4096 compiles
-  # exceed 10 min cold, N=10240 tens of minutes (NumPy baselines: 63s / 851s —
-  # override with SCT_BENCH_N once the compile cache is warm).
-  # Headline: N=10240 with the top-k subspace eigensolver (O(N²k) — computes
-  # only the max_clusters+1 eigenpairs the eigengap reads; compiles in ~10 s
-  # and clusters in ~0.16 s vs the reference's 851 s full general eig).
-  # SCT_BENCH_N=2048 SCT_BENCH_SOLVER= benches the exact-parity full-eigh
-  # path instead (~141x there).
   n = int(os.environ.get("SCT_BENCH_N", 10240))
   if n not in sizes:
     n = sizes[-1]
-  solver = os.environ.get("SCT_BENCH_SOLVER", "SubspaceIteration") or None
-  try:
-    latency, compile_s, n_clusters = bench_once(n, solver=solver)
-  except Exception as e:  # pragma: no cover - fallback for memory limits
-    print(f"# fallback from N={n}: {e}", file=sys.stderr)
-    n = sizes[-2]
-    latency, compile_s, n_clusters = bench_once(n, solver=solver)
   base_s = baseline[str(n)]["predict_s"]
-  speedup = base_s / latency
-  tag = f"_{solver}" if solver else ""
+
+  only = os.environ.get("SCT_BENCH_SOLVER")
+  if only is not None:
+    solvers = [only or None]             # SCT_BENCH_SOLVER= -> full eigh
+  else:
+    solvers = ["SubspaceIteration", None]  # both, subspace is the headline
+
+  extras = {}
+  headline = None
+  for solver in solvers:
+    tag = solver or "full_eigh"
+    try:
+      latency, compile_s, n_clusters, parity = bench_once(n, solver=solver)
+    except Exception as e:  # pragma: no cover - memory/compile limits
+      print(f"# {tag} at N={n} failed: {e}", file=sys.stderr)
+      extras[tag] = {"error": str(e)[:200]}
+      continue
+    speedup = base_s / latency
+    entry = {"speedup": round(speedup, 2), "latency_s": round(latency, 4),
+             "compile_s": round(compile_s, 1), "n_clusters": n_clusters,
+             "parity": parity}
+    extras[tag] = entry
+    print(f"# {tag}: N={n} ours={latency:.3f}s numpy={base_s:.3f}s "
+          f"compile={compile_s:.1f}s n_clusters={n_clusters} parity={parity}",
+          file=sys.stderr)
+    if headline is None:
+      headline = (tag, entry)
+
+  if headline is None:
+    print(json.dumps({"metric": f"icassp2018_e2e_speedup_vs_numpy_N{n}",
+                      "value": 0.0, "unit": "x", "vs_baseline": 0.0,
+                      "error": "all solvers failed"}))
+    sys.exit(1)
+
+  tag, entry = headline
   meta = {
-      "metric": f"icassp2018_e2e_speedup_vs_numpy_N{n}{tag}",
-      "value": round(speedup, 2),
+      "metric": f"icassp2018_e2e_speedup_vs_numpy_N{n}_{tag}",
+      "value": entry["speedup"],
       "unit": "x",
-      "vs_baseline": round(speedup, 2),
+      "vs_baseline": entry["speedup"],
+      "parity": entry["parity"],
+      "backend": jax.default_backend(),
+      "solvers": extras,
   }
   print(json.dumps(meta))
-  print(f"# backend={jax.default_backend()} N={n} ours={latency:.3f}s "
-        f"numpy={base_s:.3f}s compile={compile_s:.1f}s "
-        f"n_clusters={n_clusters}", file=sys.stderr)
 
 
 if __name__ == "__main__":

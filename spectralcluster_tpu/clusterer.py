@@ -243,7 +243,7 @@ class SpectralClusterer:
       args.append(cm_padded)
     if with_p:
       args.append(jnp.asarray(p_percentile, dtype=jnp.float32))
-    w, v, n, delta = fn(*args)
+    w, v, n, delta = jax.device_get(fn(*args))  # one batched fetch (1 RTT)
     return (np.asarray(v)[:num, :num], int(n), float(delta),
             np.asarray(w)[:num])
 
@@ -338,12 +338,15 @@ class SpectralClusterer:
       x = np.zeros((n_pad, embeddings.shape[1]), dtype=np.float32)
       x[:num_embeddings] = embeddings
       with timings.stage("pipeline"):
-        labels, n_clusters, eigenvalues, max_delta = self._fast_fn(cfg)(
+        out = self._fast_fn(cfg)(
             jnp.asarray(x), jnp.asarray(num_embeddings, jnp.int32),
             jax.random.PRNGKey(self.seed))
-        labels = np.asarray(labels)
+        # One batched fetch: each separate np.asarray()/int() is its own
+        # device->host transfer, which on a tunneled backend costs a full
+        # RTT — the dominant per-step cost of the streaming orchestrator.
+        labels, n_clusters, eigenvalues, max_delta = jax.device_get(out)
       return ClusterResult(
-          labels=labels[:num_embeddings],
+          labels=np.asarray(labels)[:num_embeddings],
           n_clusters=int(n_clusters),
           eigenvalues=np.asarray(eigenvalues)[:num_embeddings],
           max_delta_norm=float(max_delta),

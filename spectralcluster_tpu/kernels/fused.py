@@ -137,40 +137,65 @@ def row_max_pallas(mat: jnp.ndarray, exclude_diagonal: bool = False,
 # ---------------------------------------------------------------------------
 
 
-def _thresh_sym_kernel(a_ref, atile_ref, rmax_ref, cmax_ref, out_ref, *,
-                       p_percentile, multiplier, binarize):
+def _thresh_sym_kernel(a_ref, atile_ref, trow_ref, tcol_ref, out_ref, *,
+                       multiplier, binarize, preserve_diagonal, average,
+                       tile):
+  i = pl.program_id(0)
+  j = pl.program_id(1)
   a = a_ref[:]            # tile (i, j) of A
   at = atile_ref[:].T     # tile (j, i) of A, transposed in VMEM == A^T[i, j]
-  rmax = rmax_ref[:]      # (t, 1) row maxima for rows of this tile
-  cmax = cmax_ref[:].T    # (1, t) row maxima for rows j (the tile's columns)
+  trow = trow_ref[:]      # (t, 1) thresholds for rows i of this tile
+  tcol = tcol_ref[:].T    # (1, t) thresholds for rows j (the tile's columns)
+  if preserve_diagonal:
+    # Reference refinement.py:185-186: zero the diagonal before thresholding
+    # (the threshold *statistics* already saw the zeroed diagonal — the
+    # caller computes `trow` from the diag-zeroed matrix), then restore to 1.
+    rows = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0) + i * tile
+    cols = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1) + j * tile
+    a = jnp.where(rows == cols, 0.0, a)
+    at = jnp.where(rows == cols, 0.0, at)
 
   def thresh(x, m):
-    is_smaller = x < m * p_percentile
+    is_smaller = x < m
     if binarize:
       return jnp.where(is_smaller, x * multiplier, 1.0)
     return jnp.where(is_smaller, x * multiplier, x)
 
-  out_ref[:] = jnp.maximum(thresh(a, rmax), thresh(at, cmax))
+  ta = thresh(a, trow)
+  tat = thresh(at, tcol)
+  out = 0.5 * (ta + tat) if average else jnp.maximum(ta, tat)
+  if preserve_diagonal:
+    out = jnp.where(rows == cols, 1.0, out)
+  out_ref[:] = out
 
 
-def threshold_symmetrize_pallas(mat: jnp.ndarray,
-                                row_max: jnp.ndarray,
-                                p_percentile: float,
-                                multiplier: float = 0.01,
-                                binarize: bool = False,
-                                interpret: bool = False) -> jnp.ndarray:
-  """max(T(A), T(A)^T) where T is row-max soft thresholding, one pass.
+def threshold_symmetrize_general_pallas(
+    mat: jnp.ndarray,
+    thresholds: jnp.ndarray,
+    multiplier: float = 0.01,
+    binarize: bool = False,
+    preserve_diagonal: bool = False,
+    average: bool = False,
+    interpret: bool = False) -> jnp.ndarray:
+  """Sym(T(A), T(A)^T) where T is per-row soft thresholding, one pass.
 
-  ``row_max`` is the (N, 1) row-maximum vector (from row_max_pallas).
-  A^T tiles come from a second BlockSpec over the SAME array with a swapped
-  index map + an in-VMEM tile transpose — no N×N transposed copy in HBM.
+  ``thresholds`` is the (N, 1) per-row threshold vector — row_max * p for
+  ThresholdType.RowMax or the row percentile for ThresholdType.Percentile
+  (reference refinement.py:187-197); computing it outside the kernel makes a
+  *traced* p_percentile (every AutoTune run) fused-path eligible. ``average``
+  selects Symmetrize(Average) vs (Max); ``preserve_diagonal`` applies the
+  zero-then-restore-to-1 diagonal semantics. A^T tiles come from a second
+  BlockSpec over the SAME array with a swapped index map + an in-VMEM tile
+  transpose — no N×N transposed copy in HBM.
   """
   n = mat.shape[0]
   t = _tile(n)
   grid = (n // t, n // t)
   return pl.pallas_call(
-      functools.partial(_thresh_sym_kernel, p_percentile=p_percentile,
-                        multiplier=multiplier, binarize=binarize),
+      functools.partial(_thresh_sym_kernel, multiplier=multiplier,
+                        binarize=binarize,
+                        preserve_diagonal=preserve_diagonal,
+                        average=average, tile=t),
       out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
       grid=grid,
       in_specs=[
@@ -182,7 +207,20 @@ def threshold_symmetrize_pallas(mat: jnp.ndarray,
       out_specs=pl.BlockSpec((t, t), lambda i, j: (i, j),
                              memory_space=pltpu.VMEM),
       interpret=interpret,
-  )(mat, mat, row_max, row_max)
+  )(mat, mat, thresholds, thresholds)
+
+
+def threshold_symmetrize_pallas(mat: jnp.ndarray,
+                                row_max: jnp.ndarray,
+                                p_percentile: float,
+                                multiplier: float = 0.01,
+                                binarize: bool = False,
+                                interpret: bool = False) -> jnp.ndarray:
+  """max(T(A), T(A)^T) with row-max thresholding (legacy entry point;
+  thin wrapper over threshold_symmetrize_general_pallas)."""
+  return threshold_symmetrize_general_pallas(
+      mat, row_max * p_percentile, multiplier=multiplier, binarize=binarize,
+      preserve_diagonal=False, average=False, interpret=interpret)
 
 
 # ---------------------------------------------------------------------------

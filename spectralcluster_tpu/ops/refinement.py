@@ -193,10 +193,10 @@ def apply_refinement_sequence(
 
   With ``use_pallas`` (TPU only), bandwidth-bound stages are replaced by the
   fused Pallas kernels in kernels/fused.py where the op pattern allows:
-  CropDiagonal, and RowWiseThreshold(RowMax)+Symmetrize(Max) as one pass.
-  Semantics are identical (tested against these jnp twins); AutoTune's traced
-  p_percentile and the preserve-diagonal/percentile variants fall back to the
-  jnp path.
+  CropDiagonal, and RowWiseThreshold+Symmetrize as one pass — both threshold
+  types (RowMax / Percentile), both symmetrize types, binarization,
+  preserve_diagonal, and traced p_percentile (AutoTune candidates) included.
+  Semantics are identical (tested against the jnp twins).
   """
   seq = tuple(options.refinement_sequence if sequence is None else sequence)
   if not seq:
@@ -207,18 +207,32 @@ def apply_refinement_sequence(
   i = 0
   while i < len(seq):
     name = seq[i]
-    p_concrete = (p_percentile is None and
-                  not hasattr(options.p_percentile, "aval"))
     if (pallas_ok and name == RefinementName.RowWiseThreshold
-        and i + 1 < len(seq) and seq[i + 1] == RefinementName.Symmetrize
-        and options.thresholding_type == ThresholdType.RowMax
-        and not options.thresholding_preserve_diagonal
-        and options.symmetrize_type == SymmetrizeType.Max and p_concrete):
-      rmax = fused_kernels.row_max_pallas(mat, n_valid=n_valid)
-      mat = fused_kernels.threshold_symmetrize_pallas(
-          mat, rmax, float(options.p_percentile),
-          options.thresholding_soft_multiplier,
-          options.thresholding_with_binarization)
+        and i + 1 < len(seq) and seq[i + 1] == RefinementName.Symmetrize):
+      # Fused RowWiseThreshold + Symmetrize: covers BOTH threshold types,
+      # both symmetrize types, binarization, preserve_diagonal, and traced
+      # p_percentile (every AutoTune candidate) — the per-row threshold
+      # vector is computed outside the kernel (O(N) / one row sort) and the
+      # O(N^2) apply+symmetrize is one pass over A and its transposed tiles.
+      p = options.p_percentile if p_percentile is None else p_percentile
+      preserve = options.thresholding_preserve_diagonal
+      if options.thresholding_type == ThresholdType.RowMax:
+        rmax = fused_kernels.row_max_pallas(
+            mat, exclude_diagonal=preserve, n_valid=n_valid)
+        thr = rmax * p
+      else:  # ThresholdType.Percentile
+        a = jnp.where(jnp.eye(mat.shape[0], dtype=bool), 0.0,
+                      mat) if preserve else mat
+        if n_valid is None:
+          thr = quantile_ops.quantile_from_sorted(
+              quantile_ops.sort_rows(a), p)[:, None]
+        else:
+          thr = quantile_ops.quantile_from_sorted_masked(
+              quantile_ops.sort_rows_masked(a, n_valid), p, n_valid)[:, None]
+      mat = fused_kernels.threshold_symmetrize_general_pallas(
+          mat, thr, options.thresholding_soft_multiplier,
+          options.thresholding_with_binarization, preserve,
+          average=(options.symmetrize_type == SymmetrizeType.Average))
       mat = mask_padding(mat, n_valid)
       i += 2
       continue

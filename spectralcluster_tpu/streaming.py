@@ -123,6 +123,11 @@ class MultiStageClusterer:
     self.U1 = U1
     self.U2 = U2
     self.state = MultiStageState()
+    # Derived cache for the steady-state AHC: (cache array object this was
+    # built from, row-normalized cache, cosine distance matrix). Purely a
+    # host-side memo — NOT part of the checkpointable state (rebuilt on the
+    # first step after a load/reset/compression).
+    self._dist_memo: typing.Optional[tuple] = None
 
   # Convenience accessors mirroring the reference's attributes.
   @property
@@ -145,6 +150,43 @@ class MultiStageClusterer:
 
   def reset(self):
     self.state = MultiStageState()
+    self._dist_memo = None
+
+  def _cosine_dist(self, prev_cache, cache: np.ndarray) -> np.ndarray:
+    """Cosine distance matrix of the cache, updated incrementally.
+
+    Per step the cache grows by exactly one row, so the (N-1)x(N-1) prefix of
+    the distance matrix is unchanged — recomputing it from scratch (the
+    reference's sklearn call does, multi_stage_clusterer.py:156) costs
+    O(N^2 d) per step; the incremental update costs O(N d). Distances are
+    computed with the same normalize-then-dot formula as
+    ahc.cosine_distance_matrix (values identical up to BLAS summation-order
+    ulps). The memo is keyed on the previous cache array object, so any
+    non-append transition (compression, reset, checkpoint load) rebuilds.
+    """
+    n = cache.shape[0]
+    memo = self._dist_memo
+    if (memo is not None and memo[0] is prev_cache
+        and memo[1].shape[0] == n - 1):
+      xn_prev, dist_prev = memo[1], memo[2]
+      v = np.asarray(cache[-1], dtype=np.float64)
+      vn = v / np.linalg.norm(v)
+      cross = 1.0 - xn_prev @ vn
+      xn = np.empty((n, xn_prev.shape[1]), dtype=np.float64)
+      xn[:-1] = xn_prev
+      xn[-1] = vn
+      dist = np.empty((n, n), dtype=np.float64)
+      dist[: n - 1, : n - 1] = dist_prev
+      dist[: n - 1, -1] = cross
+      dist[-1, : n - 1] = cross
+      dist[-1, -1] = 0.0
+    else:
+      x = np.asarray(cache, dtype=np.float64)
+      xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+      dist = 1.0 - xn @ xn.T
+      np.fill_diagonal(dist, 0.0)
+    self._dist_memo = (cache, xn, dist)
+    return dist
 
   def streaming_predict(self, embedding: np.ndarray) -> np.ndarray:
     """One embedding in; the full (corrected) label history out."""
@@ -175,8 +217,9 @@ class MultiStageClusterer:
     if compression_labels is not None:
       compression_labels = np.append(compression_labels,
                                      compression_labels.max() + 1)
-    pre_labels = ahc_lib.agglomerative_cluster(
-        cache, metric="cosine", linkage="complete", n_clusters=self.U1)
+    dist = self._cosine_dist(state.cache, cache)
+    pre_labels = ahc_lib.ahc_labels(dist, linkage="complete",
+                                    n_clusters=self.U1)
     pre_centroids = utils.get_cluster_centroids(cache, pre_labels)
     main_labels = self.main.predict(pre_centroids)
     final_labels = utils.chain_labels(

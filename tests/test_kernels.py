@@ -77,6 +77,82 @@ class TestThresholdSymmetrizeKernel:
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-6)
 
 
+class TestThresholdSymmetrizeGeneralKernel:
+  """The generalized fused kernel: both threshold types, both symmetrize
+  types, preserve_diagonal, and traced p (VERDICT r1 item 7 — the
+  Turn-to-Diarize preset and AutoTune candidates were jnp-only before)."""
+
+  @pytest.mark.parametrize("ttype", [ThresholdType.RowMax,
+                                     ThresholdType.Percentile])
+  @pytest.mark.parametrize("stype", [SymmetrizeType.Max,
+                                     SymmetrizeType.Average])
+  @pytest.mark.parametrize("binarize,preserve", [(False, False),
+                                                 (True, True)])
+  def test_matches_jnp(self, ttype, stype, binarize, preserve):
+    from spectralcluster_tpu.ops import quantile as quantile_ops
+    a = _mat(128, seed=5)
+    p = 0.7
+    if ttype == ThresholdType.RowMax:
+      rmax = fused.row_max_pallas(a, exclude_diagonal=preserve,
+                                  interpret=True)
+      thr = rmax * p
+    else:
+      base = jnp.where(jnp.eye(128, dtype=bool), 0.0, a) if preserve else a
+      thr = quantile_ops.quantile_from_sorted(
+          quantile_ops.sort_rows(base), p)[:, None]
+    ours = fused.threshold_symmetrize_general_pallas(
+        a, thr, multiplier=0.01, binarize=binarize,
+        preserve_diagonal=preserve,
+        average=(stype == SymmetrizeType.Average), interpret=True)
+    thresholded = ref_ops.row_wise_threshold(
+        a, p, 0.01, ttype, with_binarization=binarize,
+        preserve_diagonal=preserve)
+    ref = ref_ops.symmetrize(thresholded, stype)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-6)
+
+  def test_turntodiarize_sequence_fused_matches_jnp(self):
+    # The full preset pattern (Percentile + binarize + preserve_diagonal +
+    # Average), padded, driven through apply_refinement_sequence.
+    from spectralcluster_tpu import configs
+    import unittest.mock as mock
+    rng = np.random.RandomState(6)
+    raw = rng.rand(300, 300).astype(np.float32)
+    padded = np.zeros((512, 512), np.float32)
+    padded[:300, :300] = raw
+    opts = configs.turntodiarize_refinement_options().replace(
+        p_percentile=0.85)
+    jnp_out = ref_ops.apply_refinement_sequence(
+        jnp.asarray(padded), opts, n_valid=300, use_pallas=False)
+    with mock.patch.object(ref_ops, "_pallas_applicable", return_value=True), \
+         mock.patch.object(fused.pl, "pallas_call",
+                           functools_partial_interpret()):
+      pallas_out = ref_ops.apply_refinement_sequence(
+          jnp.asarray(padded), opts, n_valid=300, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(pallas_out), np.asarray(jnp_out),
+                               atol=1e-5)
+
+  def test_traced_p_uses_fused_path(self):
+    # vmapped (traced) p over candidates — the AutoTune pattern.
+    import unittest.mock as mock
+    import jax
+    from spectralcluster_tpu.types import RefinementOptions, RefinementName
+    a = _mat(128, seed=7)
+    opts = RefinementOptions(
+        thresholding_type=ThresholdType.Percentile,
+        refinement_sequence=(RefinementName.RowWiseThreshold,
+                             RefinementName.Symmetrize))
+    ps = jnp.asarray([0.5, 0.8], jnp.float32)
+    jnp_out = jax.vmap(lambda p: ref_ops.apply_refinement_sequence(
+        a, opts, p_percentile=p, use_pallas=False))(ps)
+    with mock.patch.object(ref_ops, "_pallas_applicable", return_value=True), \
+         mock.patch.object(fused.pl, "pallas_call",
+                           functools_partial_interpret()):
+      pallas_out = jax.vmap(lambda p: ref_ops.apply_refinement_sequence(
+          a, opts, p_percentile=p, use_pallas=True))(ps)
+    np.testing.assert_allclose(np.asarray(pallas_out), np.asarray(jnp_out),
+                               atol=1e-5)
+
+
 class TestRowNormalizeKernel:
 
   def test_matches_jnp(self):
