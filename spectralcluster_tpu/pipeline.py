@@ -26,6 +26,7 @@ Two entry points:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import typing
 
 import jax
@@ -240,52 +241,27 @@ def _refine_and_eigendecompose(
     return eigen_ops.sorted_eigh_similarity(
         sym_mat, vec_scale, descend=descend, n_valid=n_valid)
 
-  constraint_after = (
-      with_constraint and cfg.constraint_options is not None and
-      not cfg.constraint_options.apply_before_refinement)
-
-  def apply_seq(mat, names):
-    return refinement_ops.apply_refinement_sequence(
-        mat, ropts, sequence=names, p_percentile=p_percentile, n_valid=n_valid,
-        use_pallas=cfg.use_pallas)
-
-  if (structure == refinement_ops.ROWNORM_TAIL and
-      cfg.eigensolver in (EigenSolver.Auto, EigenSolver.Eigh,
-                          EigenSolver.SubspaceIteration)):
-    # A = D_r^{-1} S with S symmetric: eigh on D_r^{-1/2} S D_r^{-1/2}.
+  if structure == refinement_ops.GENERAL:
     with jax.named_scope("refinement"):
-      s = apply_seq(affinity, seq[:-1])
-    d = refinement_ops.row_max_scale(s, n_valid)
-    inv_sqrt = 1.0 / jnp.sqrt(d)
-    m = inv_sqrt[:, None] * s * inv_sqrt[None, :]
-    if n_valid is not None:
-      m = eigen_ops.apply_padding_sentinels(m, n_valid, descend)
-    with jax.named_scope("eigh"):
-      eigenvalues, eigenvectors = eig_dispatch(m, inv_sqrt)
-  else:
-    with jax.named_scope("refinement"):
-      refined = apply_seq(affinity, seq)
-    if constraint_after:
+      refined = refinement_ops.apply_refinement_sequence(
+          affinity, ropts, sequence=seq, p_percentile=p_percentile,
+          n_valid=n_valid, use_pallas=cfg.use_pallas)
+    if (with_constraint and cfg.constraint_options is not None and
+        not cfg.constraint_options.apply_before_refinement):
       refined = constraint_lib.adjust_affinity(
           refined, constraint_matrix, cfg.constraint_options, n_valid)
-    if structure == refinement_ops.GENERAL:
-      mat = laplacian_ops.compute_laplacian(
-          refined, cfg.laplacian_type, n_valid=n_valid
-      ) if not descend else refined
-      if n_valid is not None:
-        mat = eigen_ops.apply_padding_sentinels(mat, n_valid, descend)
-      eigenvalues, eigenvectors = eigen_ops.sorted_eig_general_host(
-          mat, descend=descend)
-    else:
-      if descend:
-        m, scale = refined, None
-      else:
-        m, scale = laplacian_ops.laplacian_similarity(
-            refined, cfg.laplacian_type, n_valid=n_valid)
-      if n_valid is not None:
-        m = eigen_ops.apply_padding_sentinels(m, n_valid, descend)
-      with jax.named_scope("eigh"):
-        eigenvalues, eigenvectors = eig_dispatch(m, scale)
+    mat = laplacian_ops.compute_laplacian(
+        refined, cfg.laplacian_type, n_valid=n_valid
+    ) if not descend else refined
+    if n_valid is not None:
+      mat = eigen_ops.apply_padding_sentinels(mat, n_valid, descend)
+    eigenvalues, eigenvectors = eigen_ops.sorted_eig_general_host(
+        mat, descend=descend)
+  else:
+    m, scale = _symmetric_eig_operand(affinity, cfg, p_percentile,
+                                      constraint_matrix, n_valid, structure)
+    with jax.named_scope("eigh"):
+      eigenvalues, eigenvectors = eig_dispatch(m, scale)
 
   # Subspace iteration returns only the k extreme eigenpairs — all valid,
   # no padding sentinels among them.
@@ -301,6 +277,49 @@ def _refine_and_eigendecompose(
       descend=descend,
       n_valid=gap_n_valid)
   return eigenvalues, eigenvectors, n_clusters, max_delta
+
+
+def _symmetric_eig_operand(affinity, cfg: PipelineConfig, p_percentile,
+                           constraint_matrix, n_valid, structure):
+  """Refinement → the symmetric matrix handed to eigh, plus its scale.
+
+  Returns (m, vec_scale) such that ``eigh(m)`` followed by
+  ``recover_similarity_eigenvectors(u, vec_scale)`` reproduces the
+  eigendecomposition of the (possibly non-symmetric) refined matrix.
+  Padding sentinels are applied. Shared by the monolithic pipeline and the
+  eigh-split staged executor (``spectral_cluster_fixed_k_staged``).
+  """
+  ropts = cfg.refinement_options
+  seq = ropts.refinement_sequence or ()
+  descend = _descend(cfg)
+
+  def apply_seq(mat, names):
+    return refinement_ops.apply_refinement_sequence(
+        mat, ropts, sequence=names, p_percentile=p_percentile, n_valid=n_valid,
+        use_pallas=cfg.use_pallas)
+
+  if structure == refinement_ops.ROWNORM_TAIL:
+    # A = D_r^{-1} S with S symmetric: eigh on D_r^{-1/2} S D_r^{-1/2}.
+    with jax.named_scope("refinement"):
+      s = apply_seq(affinity, seq[:-1])
+    d = refinement_ops.row_max_scale(s, n_valid)
+    inv_sqrt = 1.0 / jnp.sqrt(d)
+    m, scale = inv_sqrt[:, None] * s * inv_sqrt[None, :], inv_sqrt
+  else:
+    with jax.named_scope("refinement"):
+      refined = apply_seq(affinity, seq)
+    if (constraint_matrix is not None and cfg.constraint_options is not None
+        and not cfg.constraint_options.apply_before_refinement):
+      refined = constraint_lib.adjust_affinity(
+          refined, constraint_matrix, cfg.constraint_options, n_valid)
+    if descend:
+      m, scale = refined, None
+    else:
+      m, scale = laplacian_ops.laplacian_similarity(
+          refined, cfg.laplacian_type, n_valid=n_valid)
+  if n_valid is not None:
+    m = eigen_ops.apply_padding_sentinels(m, n_valid, descend)
+  return m, scale
 
 
 def prepare_affinity(
@@ -421,6 +440,15 @@ def _spectral_cluster_fixed_k(embeddings, key, cfg, constraint_matrix=None,
     eigenvalues, eigenvectors, n_gap, max_delta = refine_and_eigendecompose(
         affinity, cfg, p_percentile=None, constraint_matrix=constraint_matrix,
         n_valid=n_valid)
+  labels, n_clusters = _cluster_from_eigs(eigenvectors, n_gap, cfg, key,
+                                          n_valid, kmeans_tol)
+  return labels, n_clusters, eigenvalues, max_delta
+
+
+def _cluster_from_eigs(eigenvectors, n_gap, cfg, key, n_valid, kmeans_tol):
+  """Eigengap count → spectral embeddings → masked K-Means → labels."""
+  n = eigenvectors.shape[0]
+  k_max = cfg.max_clusters
   n_clusters = n_gap
   if cfg.min_clusters is not None:
     n_clusters = jnp.maximum(n_clusters, cfg.min_clusters)
@@ -437,4 +465,114 @@ def _spectral_cluster_fixed_k(embeddings, key, cfg, constraint_matrix=None,
         sample_weight=weight)
   labels = jnp.where(jnp.arange(n) < (n_valid if n_valid is not None else n),
                      labels, 0)
-  return labels, n_clusters, eigenvalues, max_delta
+  return labels, n_clusters
+
+
+# ---------------------------------------------------------------------------
+# Eigh-split staged executor.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=32)
+def _monolithic_jit(cfg: PipelineConfig):
+  return jax.jit(functools.partial(spectral_cluster_fixed_k, cfg=cfg))
+
+
+def _staged_applicable(cfg: PipelineConfig, with_constraint: bool) -> bool:
+  return (cfg.autotune is None
+          and cfg.eigensolver in (EigenSolver.Auto, EigenSolver.Eigh)
+          and _eig_structure(cfg, with_constraint) != refinement_ops.GENERAL)
+
+
+@functools.lru_cache(maxsize=32)
+def _staged_jits(cfg: PipelineConfig, with_constraint: bool,
+                 with_nvalid: bool):
+  from spectralcluster_tpu.precision import precise_jit
+
+  structure = _eig_structure(cfg, with_constraint)
+  descend = _descend(cfg)
+
+  def prep(embeddings, constraint_matrix, n_valid):
+    with jax.default_matmul_precision(cfg.matmul_precision):
+      affinity = _prepare_affinity(embeddings, cfg, constraint_matrix, n_valid)
+      m, scale = _symmetric_eig_operand(affinity, cfg, None, constraint_matrix,
+                                        n_valid, structure)
+      # A concrete scale=1 stands in for None so the stage-3 signature is
+      # uniform; recover_similarity_eigenvectors(·, ones) only renormalizes
+      # columns, which is a no-op on eigh's unit eigenvectors.
+      if scale is None:
+        scale = jnp.ones((m.shape[0],), m.dtype)
+      return m, scale
+
+  def finish(w, u, scale, key, n_valid):
+    with jax.default_matmul_precision(cfg.matmul_precision):
+      if descend:
+        w, u = w[::-1], u[:, ::-1]
+      eigenvectors = eigen_ops.recover_similarity_eigenvectors(
+          u, scale, n_valid)
+      eigenvalues = eigen_ops.snap_small_eigenvalues(
+          w, n_valid=n_valid, tol=cfg.eigenvalue_snap_tol)
+      n_gap, max_delta = eigen_ops.compute_number_of_clusters(
+          eigenvalues, max_clusters=cfg.max_clusters,
+          stop_eigenvalue=cfg.stop_eigenvalue,
+          eigengap_type=cfg.eigengap_type, descend=descend, n_valid=n_valid)
+      labels, n_clusters = _cluster_from_eigs(eigenvectors, n_gap, cfg, key,
+                                              n_valid, 0.001)
+      return labels, n_clusters, eigenvalues, max_delta
+
+  if with_constraint and with_nvalid:
+    prep_jit = precise_jit(lambda e, c, nv: prep(e, c, nv))
+  elif with_constraint:
+    prep_jit = precise_jit(lambda e, c: prep(e, c, None))
+  elif with_nvalid:
+    prep_jit = precise_jit(lambda e, nv: prep(e, None, nv))
+  else:
+    prep_jit = precise_jit(lambda e: prep(e, None, None))
+  eigh_jit = precise_jit(jnp.linalg.eigh)
+  if with_nvalid:
+    finish_jit = precise_jit(lambda w, u, s, k, nv: finish(w, u, s, k, nv))
+  else:
+    finish_jit = precise_jit(lambda w, u, s, k: finish(w, u, s, k, None))
+  return prep_jit, eigh_jit, finish_jit
+
+
+def spectral_cluster_fixed_k_staged(
+    embeddings: jnp.ndarray,
+    key: jax.Array,
+    cfg: PipelineConfig,
+    constraint_matrix: typing.Optional[jnp.ndarray] = None,
+    n_valid=None,
+) -> typing.Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+  """`spectral_cluster_fixed_k` semantics, executed as THREE jit programs
+  split at the eigh boundary (prep → eigh → finish).
+
+  Why: XLA's compile-time memory/latency for one monolithic program holding
+  affinity+refinement+eigh+kmeans grows steeply with N — at N≳10k a single
+  program can exceed the compiler's memory budget even though the *runtime*
+  working set fits HBM comfortably. Splitting bounds the largest single
+  compilation to the eigh itself. The three dispatches pipeline through
+  JAX's async dispatch, so steady-state latency cost is ~zero; results match
+  the monolithic path up to XLA fusion-order float32 noise (labels and
+  cluster counts identical on all test fixtures — tests/test_staged.py).
+
+  Host-level function (not jittable). Requires a symmetric/diagonal-similar
+  structure and a full-eigh solver; falls back to the monolithic jit
+  otherwise (general-eig, SubspaceIteration, in-graph autotune).
+  """
+  with_constraint = constraint_matrix is not None
+  if not _staged_applicable(cfg, with_constraint):
+    return _monolithic_jit(cfg)(embeddings, key,
+                                constraint_matrix=constraint_matrix,
+                                n_valid=n_valid)
+  with_nvalid = n_valid is not None
+  prep_jit, eigh_jit, finish_jit = _staged_jits(cfg, with_constraint,
+                                                with_nvalid)
+  args = [embeddings]
+  if with_constraint:
+    args.append(constraint_matrix)
+  if with_nvalid:
+    args.append(n_valid)
+  m, scale = prep_jit(*args)
+  w, u = eigh_jit(m)
+  tail = [w, u, scale, key] + ([n_valid] if with_nvalid else [])
+  return finish_jit(*tail)

@@ -1,0 +1,119 @@
+"""Eigh-split staged executor vs the monolithic jit.
+
+The staged executor exists to bound peak XLA compile memory at large N
+(pipeline.spectral_cluster_fixed_k_staged); these tests pin that splitting
+the program at the eigh boundary yields identical labels/cluster counts and
+eigenvalues equal up to XLA fusion-order float32 noise.
+"""
+
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401  (re-exec env setup)
+
+import jax
+import jax.numpy as jnp
+
+from spectralcluster_tpu import configs, pipeline
+from spectralcluster_tpu.precision import precise_jit
+from spectralcluster_tpu.types import (ConstraintName, ConstraintOptions,
+                                       EigenGapType, EigenSolver,
+                                       IntegrationType, LaplacianType,
+                                       RefinementName, RefinementOptions,
+                                       ThresholdType)
+
+
+def _embeddings(n=96, d=16, k=3, seed=0):
+  rng = np.random.RandomState(seed)
+  centers = rng.randn(k, d) * 3
+  labels = np.repeat(np.arange(k), n // k)
+  return jnp.asarray(
+      (centers[labels] + rng.randn(n, d) * 0.3).astype(np.float32))
+
+
+def _run_both(cfg, x, constraint_matrix=None, n_valid=None):
+  key = jax.random.PRNGKey(0)
+  mono = precise_jit(
+      lambda e, k: pipeline.spectral_cluster_fixed_k(
+          e, k, cfg, constraint_matrix=constraint_matrix, n_valid=n_valid))
+  got_m = jax.device_get(mono(x, key))
+  got_s = jax.device_get(pipeline.spectral_cluster_fixed_k_staged(
+      x, key, cfg, constraint_matrix=constraint_matrix, n_valid=n_valid))
+  return got_m, got_s
+
+
+def _assert_same(got_m, got_s):
+  labels_m, nc_m, w_m, delta_m = got_m
+  labels_s, nc_s, w_s, delta_s = got_s
+  np.testing.assert_array_equal(labels_m, labels_s)
+  assert int(nc_m) == int(nc_s)
+  # Splitting the program changes XLA fusion around the eigh boundary;
+  # eigenvalues agree to float32 noise, not bitwise.
+  scale = max(np.max(np.abs(w_m)), 1.0)
+  np.testing.assert_allclose(w_m, w_s, rtol=1e-3, atol=1e-5 * scale)
+  np.testing.assert_allclose(delta_m, delta_s, rtol=1e-3, atol=1e-5)
+
+
+class TestStagedExecutor:
+
+  def test_icassp2018_rownorm_tail(self):
+    cfg = pipeline.PipelineConfig(
+        refinement_options=configs.icassp2018_refinement_options(),
+        min_clusters=2, max_clusters=7)
+    _assert_same(*_run_both(cfg, _embeddings()))
+
+  def test_laplacian_ascend(self):
+    cfg = pipeline.PipelineConfig(
+        refinement_options=RefinementOptions(
+            thresholding_type=ThresholdType.Percentile,
+            p_percentile=0.9,
+            refinement_sequence=(RefinementName.RowWiseThreshold,
+                                 RefinementName.Symmetrize)),
+        laplacian_type=LaplacianType.GraphCut,
+        eigengap_type=EigenGapType.NormalizedDiff,
+        min_clusters=1, max_clusters=5, row_wise_renorm=True)
+    _assert_same(*_run_both(cfg, _embeddings(seed=1)))
+
+  def test_padded(self):
+    x = _embeddings(n=90)
+    pad = jnp.zeros((38, x.shape[1]), x.dtype)
+    xp = jnp.concatenate([x, pad], axis=0)
+    cfg = pipeline.PipelineConfig(
+        refinement_options=configs.icassp2018_refinement_options(),
+        min_clusters=2, max_clusters=7)
+    got_m, got_s = _run_both(cfg, xp, n_valid=90)
+    _assert_same(got_m, got_s)
+
+  def test_constrained(self):
+    n = 96
+    cm = np.zeros((n, n), np.float32)
+    cm[:4, :4] = 1.0
+    cfg = pipeline.PipelineConfig(
+        refinement_options=configs.icassp2018_refinement_options(),
+        constraint_options=ConstraintOptions(
+            constraint_name=ConstraintName.AffinityIntegration,
+            apply_before_refinement=True,
+            integration_type=IntegrationType.Max),
+        min_clusters=2, max_clusters=7)
+    got_m, got_s = _run_both(cfg, _embeddings(), constraint_matrix=cm)
+    _assert_same(got_m, got_s)
+
+  def test_fallback_subspace_solver(self):
+    # SubspaceIteration has no eigh stage to split at: the staged entry
+    # must route to the monolithic jit and still agree with it.
+    cfg = pipeline.PipelineConfig(
+        refinement_options=configs.icassp2018_refinement_options(),
+        min_clusters=2, max_clusters=7,
+        eigensolver=EigenSolver.SubspaceIteration)
+    assert not pipeline._staged_applicable(cfg, False)
+    _assert_same(*_run_both(cfg, _embeddings()))
+
+  def test_applicability(self):
+    base = pipeline.PipelineConfig(
+        refinement_options=configs.icassp2018_refinement_options(),
+        max_clusters=7)
+    assert pipeline._staged_applicable(base, False)
+    assert not pipeline._staged_applicable(
+        base.replace(eigensolver=EigenSolver.HostGeneral), False)
+    assert not pipeline._staged_applicable(
+        base.replace(autotune=pipeline.AutoTuneStatic()), False)
