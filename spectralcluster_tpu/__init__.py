@@ -18,7 +18,9 @@ from spectralcluster_tpu.constraint import ConstraintMatrix
 from spectralcluster_tpu.fallback import (FallbackClusterer, NaiveClusterer,
                                            check_single_cluster)
 from spectralcluster_tpu.ops.kmeans import CustomKMeans, run_kmeans
-from spectralcluster_tpu.pipeline import PipelineConfig, spectral_cluster_fixed_k
+from spectralcluster_tpu.pipeline import (PipelineConfig,
+                                          spectral_cluster_fixed_k,
+                                          spectral_cluster_fixed_k_staged)
 from spectralcluster_tpu.streaming import MultiStageClusterer, match_labels
 from spectralcluster_tpu.types import (AutoTuneProxy, ClusterResult,
                                        ConstraintName, ConstraintOptions,
@@ -48,5 +50,6 @@ __all__ = [
     "check_single_cluster", "configs", "run_kmeans",
     "enforce_ordered_labels", "get_cluster_centroids", "match_labels",
     "spectral_cluster_fixed_k",
+    "spectral_cluster_fixed_k_staged",
     "ICASSP2018_REFINEMENT_SEQUENCE", "TURNTODIARIZE_REFINEMENT_SEQUENCE",
 ]

@@ -72,7 +72,8 @@ class SpectralClusterer:
       affinity_function: typing.Optional[typing.Callable] = None,
       post_eigen_cluster_function: typing.Optional[typing.Callable] = None,
       seed: int = 0,
-      eigensolver: EigenSolver = EigenSolver.Auto):
+      eigensolver: EigenSolver = EigenSolver.Auto,
+      staged_execution_min_n: typing.Optional[int] = 8192):
     self.min_clusters = min_clusters
     self.max_clusters = max_clusters
     self.refinement_options = refinement_options or RefinementOptions()
@@ -90,6 +91,12 @@ class SpectralClusterer:
     self.post_eigen_cluster_function = post_eigen_cluster_function
     self.seed = seed
     self.eigensolver = eigensolver
+    # Above this padded size, the fast path runs as three jit programs split
+    # at the eigh boundary (pipeline.spectral_cluster_fixed_k_staged): a
+    # single monolithic program's XLA compile-time memory grows steeply with
+    # N and can exhaust the compiler long before the runtime working set
+    # threatens HBM. None disables staging.
+    self.staged_execution_min_n = staged_execution_min_n
 
   # -- compiled-stage plumbing ------------------------------------------------
 
@@ -337,10 +344,18 @@ class SpectralClusterer:
       n_pad = pipeline_lib.pad_bucket(num_embeddings)
       x = np.zeros((n_pad, embeddings.shape[1]), dtype=np.float32)
       x[:num_embeddings] = embeddings
+      use_staged = (self.staged_execution_min_n is not None
+                    and n_pad >= self.staged_execution_min_n
+                    and pipeline_lib._staged_applicable(cfg, False))
       with timings.stage("pipeline"):
-        out = self._fast_fn(cfg)(
-            jnp.asarray(x), jnp.asarray(num_embeddings, jnp.int32),
-            jax.random.PRNGKey(self.seed))
+        if use_staged:
+          out = pipeline_lib.spectral_cluster_fixed_k_staged(
+              jnp.asarray(x), jax.random.PRNGKey(self.seed), cfg,
+              n_valid=jnp.asarray(num_embeddings, jnp.int32))
+        else:
+          out = self._fast_fn(cfg)(
+              jnp.asarray(x), jnp.asarray(num_embeddings, jnp.int32),
+              jax.random.PRNGKey(self.seed))
         # One batched fetch: each separate np.asarray()/int() is its own
         # device->host transfer, which on a tunneled backend costs a full
         # RTT — the dominant per-step cost of the streaming orchestrator.

@@ -108,6 +108,18 @@ class TestStagedExecutor:
     assert not pipeline._staged_applicable(cfg, False)
     _assert_same(*_run_both(cfg, _embeddings()))
 
+  def test_clusterer_fast_path_staged_routing(self):
+    # With the threshold forced below N, SpectralClusterer.predict's fast
+    # path runs through the staged executor and must match the default path.
+    from spectralcluster_tpu.clusterer import SpectralClusterer
+    x = np.asarray(_embeddings())
+    kw = dict(min_clusters=2, max_clusters=7,
+              refinement_options=configs.icassp2018_refinement_options())
+    labels_default = SpectralClusterer(**kw).predict(x)
+    labels_staged = SpectralClusterer(staged_execution_min_n=64,
+                                      **kw).predict(x)
+    np.testing.assert_array_equal(labels_default, labels_staged)
+
   def test_applicability(self):
     base = pipeline.PipelineConfig(
         refinement_options=configs.icassp2018_refinement_options(),
