@@ -1,0 +1,586 @@
+"""Host-staged spectral divide-and-conquer top-k symmetric eigensolver.
+
+Why this exists: the exact full-eigh parity path (replacing the reference's
+LAPACK general eig, reference utils.py:59) hits a single-chip HBM wall before
+it hits a FLOPs wall. XLA's ``eigh`` lowers to a QDWH-based spectral
+divide-and-conquer executed as ONE program whose recursion holds dozens of
+(N, N) temporaries simultaneously: measured 17.7 GB at N=10240 on a 15.75 GB
+v5e — an out-of-memory failure even though the algorithm's true working set
+is a handful of (N, N) buffers. ``jax.scipy.linalg.polar`` (QR-based QDWH)
+has the same issue (15.8 GB at N=10240: the blocked Householder QR of the
+stacked (2N, N) matrix unrolls ~N/256 panels that XLA fails to buffer-share).
+
+This module runs the SAME algorithm class — backward-stable polar-based
+spectral divide-and-conquer (Nakatsukasa & Higham, SIAM J. Sci. Comput. 2013)
+— as a few small host-staged XLA programs, so each stage's HBM footprint is
+bounded by ~6 (N, N) buffers (~2.4 GB at N=10240):
+
+  1. ``matrix_sign``: U = sign(A - sigma*I) via Cholesky-form QDWH with a
+     host-precomputed coefficient schedule. Pure matmul + Cholesky +
+     triangular-solve — no QR of stacked matrices, no per-panel unrolling;
+     everything maps onto the MXU. sigma = mean eigenvalue (masked trace / n).
+  2. Randomized range finder on the spectral projector P = (I ± U)/2 with a
+     shift-stabilized CholeskyQR2 (again matmul-only), giving an orthonormal
+     basis Q of the invariant subspace of the eigenvalues on the kept side of
+     sigma (top side when scanning descending, bottom when ascending).
+  3. Rayleigh–Ritz: eigh of the (k, k) projected block — a separate, much
+     smaller program — then back-transform the t extreme eigenvectors.
+     Blocks still larger than ``max_block`` recurse (each level's stages are
+     again memory-bounded); blocks smaller than the requested t eigenpairs
+     eigh densely and recurse on the spectral complement for the remainder.
+
+The result is the t extreme eigenpairs (t = max_clusters + 1, the only ones
+the reference's eigengap scan ever reads, reference utils.py:74-130) with
+dense-eigensolver accuracy: every stage is backward stable, and the only
+approximation is the assignment of eigenvalues within O(eps*||A||) of the
+split point sigma to one side — the same boundary ambiguity any spectral
+divide-and-conquer (including LAPACK's and XLA's own) carries. A final
+residual check ||A v - lambda v|| / ||A|| certifies the returned pairs.
+
+Shapes are bucketed (``pad_bucket``-style) so repeated calls reuse compiled
+programs; the data-dependent block size k is read back to the host once per
+split (this is a host-orchestrated, not jittable, entry point — same
+execution model as pipeline.spectral_cluster_fixed_k_staged, which is its
+only in-package caller).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import typing
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spectralcluster_tpu.ops import eigen as eigen_ops
+from spectralcluster_tpu.precision import precise_jit
+
+# Relative distance from the split point below which an eigenvalue's side
+# assignment is ambiguous. 1e-4 keeps the first QDWH iteration's Cholesky
+# condition number ~3e5, comfortably inside float32's 1/eps ~ 1.7e7 (one
+# iterative-refinement pass recovers the remaining digits).
+_SIGN_L0 = 1e-4
+
+# Residual level that indicates the solver actually failed (vs ordinary
+# float32 noise, which sits around 1e-6..1e-5 relative).
+_FAIL_RESIDUAL = 1e-2
+
+# Relative Ritz residual above which a pair is classified as a spurious
+# oversampling artifact (genuine float32 pairs sit at 1e-6..5e-4; spurious
+# ones at 0.1+).
+_SPURIOUS_TOL = 3e-3
+
+
+def _qdwh_coeffs(l0: float = _SIGN_L0,
+                 max_iters: int = 12) -> typing.List[typing.Tuple[float, float, float]]:
+  """Host-precomputed dynamic QDWH coefficient schedule.
+
+  Standard recurrence (Nakatsukasa–Bai–Gygi): per iteration, with l the
+  current lower bound on |eigenvalues| of the iterate,
+    gamma = (4 (1 - l^2) / l^4)^(1/3)
+    a = sqrt(1 + gamma) + 0.5 * sqrt(8 - 4 gamma + 8 (2 - l^2) / (l^2 sqrt(1 + gamma)))
+    b = (a - 1)^2 / 4,  c = a + b - 1
+    l <- l (a + b l^2) / (1 + c l^2)
+  Converges to l = 1 in ~4 iterations from l0 = 1e-4. Computed in float64 on
+  the host; the schedule is static, so the device loop fully unrolls.
+  """
+  coeffs = []
+  l = float(l0)
+  while 1.0 - l > 1e-10 and len(coeffs) < max_iters:
+    g = (4.0 * (1.0 - l * l) / (l ** 4)) ** (1.0 / 3.0)
+    a = math.sqrt(1.0 + g) + 0.5 * math.sqrt(
+        8.0 - 4.0 * g + 8.0 * (2.0 - l * l) / (l * l * math.sqrt(1.0 + g)))
+    b = (a - 1.0) ** 2 / 4.0
+    c = a + b - 1.0
+    coeffs.append((a, b, c))
+    l = l * (a + b * l * l) / (1.0 + c * l * l)
+  return coeffs
+
+
+def _chol_solve_refined(z: jnp.ndarray, rhs: jnp.ndarray,
+                        refine: int) -> jnp.ndarray:
+  """Solve z s = rhs (z symmetric PD) with optional iterative refinement.
+
+  The first QDWH iteration has cond(z) ~ c ~ 3e5; a plain float32 Cholesky
+  solve loses ~cond*eps ~ 2e-2 relative accuracy there. One refinement pass
+  (one extra matmul + solve) squares that error away; later iterations have
+  cond(z) < 100 and skip refinement.
+  """
+  w = jnp.linalg.cholesky(z)
+  s = jax.scipy.linalg.cho_solve((w, True), rhs)
+  for _ in range(refine):
+    r = rhs - jnp.matmul(z, s, preferred_element_type=jnp.float32)
+    s = s + jax.scipy.linalg.cho_solve((w, True), r)
+  return s
+
+
+def matrix_sign(x: jnp.ndarray, l0: float = _SIGN_L0,
+                polish: int = 2) -> jnp.ndarray:
+  """Matrix sign of a symmetric x with ||x||_2 <= 1 (caller pre-scales).
+
+  Cholesky-form QDWH: x' = (b/c) x + (a - b/c) (z^{-1} x)^T with
+  z = I + c x^2 — mathematically identical to the QR form (the QR of the
+  stacked [sqrt(c) x; I] computes the same z^{-1} applied to x) but built
+  from matmul/Cholesky/triangular-solve only, which XLA maps onto the MXU
+  with a constant number of (N, N) buffers. Finishes with Newton–Schulz
+  polish steps (x <- 1.5 x - 0.5 x^3) to clean orthogonality in float32.
+
+  Eigenvalues of magnitude below ``l0`` (relative) may land on either side
+  of zero — the inherent boundary ambiguity of any sign-based splitting.
+  """
+  for a, b, c in _qdwh_coeffs(l0):
+    z = jnp.eye(x.shape[0], dtype=x.dtype) + c * jnp.matmul(
+        x, x, preferred_element_type=jnp.float32)
+    s = _chol_solve_refined(z, x, refine=1 if c > 1e3 else 0)
+    x = (b / c) * x + (a - b / c) * s.T
+    x = 0.5 * (x + x.T)
+  for _ in range(polish):
+    x2 = jnp.matmul(x, x, preferred_element_type=jnp.float32)
+    x = 1.5 * x - 0.5 * jnp.matmul(x, x2, preferred_element_type=jnp.float32)
+    x = 0.5 * (x + x.T)
+  return x
+
+
+def _bucket(k: int) -> int:
+  """Round a block size up to a compile-shape bucket (multiple of 128)."""
+  return max(128, -(-k // 128) * 128)
+
+
+# ---------------------------------------------------------------------------
+# Cached stage programs (one compile per shape bucket).
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=64)
+def _sign_project_jit(n: int, descend: bool, with_nvalid: bool):
+  """Stage 1: split point, scale, spectral projector, and its rank estimate."""
+
+  def run(m, n_valid):
+    idx = jnp.arange(n)
+    if with_nvalid:
+      valid = idx < n_valid
+      nv = n_valid.astype(m.dtype)
+    else:
+      valid = jnp.ones((n,), bool)
+      nv = jnp.asarray(n, m.dtype)
+    keep = valid[:, None] & valid[None, :]
+    mm = jnp.where(keep, m, 0.0)
+    # Split at the mean eigenvalue (masked trace / count): always strictly
+    # inside the spectrum unless the spectrum is constant.
+    sigma = jnp.sum(jnp.where(valid, jnp.diag(mm), 0.0)) / nv
+    h = mm - sigma * jnp.where(valid, 1.0, 0.0)[:, None] * jnp.eye(
+        n, dtype=m.dtype)
+    # Upper bound on ||h||_2: min(Gershgorin max row sum, Frobenius norm).
+    gersh = jnp.max(jnp.sum(jnp.abs(h), axis=1))
+    fro = jnp.linalg.norm(h)
+    alpha = jnp.maximum(jnp.minimum(gersh, fro), 1e-30)
+    x0 = h / alpha
+    # Padded coordinates: pin to the sign value of the DISCARDED side so the
+    # kept-side projector excludes them (f(+-1) = +-1 is a fixed point of
+    # every QDWH / Newton–Schulz step).
+    pad_sign = -1.0 if descend else 1.0
+    x0 = x0 + pad_sign * jnp.where(valid, 0.0, 1.0)[:, None] * jnp.eye(
+        n, dtype=m.dtype)
+    u = matrix_sign(x0)
+    # Projector onto the kept side: top block for a descending eigengap scan,
+    # bottom block for ascending (Laplacian) scans.
+    p = 0.5 * (jnp.eye(n, dtype=m.dtype) + (u if descend else -u))
+    k_f = jnp.trace(p)
+    # Boundary mass: trace(P - P^2) = (nv - ||U||_F^2) / 4 counts eigenvalues
+    # whose sign did not converge to +-1 (they sit within ~l0*||h|| of the
+    # split point, each contributing <= 1/4). The basis margin must cover
+    # them: rank(P) can exceed round(trace(P)) by up to ~2x this mass.
+    ufro2 = jnp.sum(jnp.where(keep, u * u, 0.0))
+    b_f = jnp.maximum(nv - ufro2, 0.0) / 4.0
+    return p, k_f, b_f, sigma, alpha
+
+  if with_nvalid:
+    return precise_jit(run)
+  return precise_jit(lambda m: run(m, None))
+
+
+# Filtered-subspace-iteration steps inside the projection stage. Each step
+# multiplies boundary-mode content by its projector eigenvalue p < 1 and
+# junk content by ~eps, sharpening every basis column toward an exact
+# eigendirection of P (= an exact eigendirection of m, since P = f(m)).
+_PROJECT_ITERS = 6
+
+
+def _cholqr2_shifted(y, k_pad, col_ok):
+  """Shift-stabilized CholeskyQR2: orthonormalize possibly rank-deficient y.
+
+  The shift keeps the Cholesky from breaking down when the active width
+  exceeds the numerical rank; the second pass restores orthogonality to
+  working precision.
+  """
+  for _ in range(2):
+    gram = jnp.matmul(y.T, y, preferred_element_type=jnp.float32)
+    delta = 1e-6 * jnp.maximum(jnp.max(jnp.diag(gram)), 1e-30)
+    r = jnp.linalg.cholesky(gram + delta * jnp.eye(k_pad, dtype=y.dtype))
+    # y <- y r^{-T} (r lower): solve r q^T = y^T.
+    y = jax.scipy.linalg.solve_triangular(r, y.T, lower=True).T
+    y = y * col_ok[None, :]
+  return y
+
+
+@functools.lru_cache(maxsize=64)
+def _project_block_jit(n: int, k_pad: int, descend: bool):
+  """Stage 2: invariant-subspace basis + the projected (k, k) Ritz block.
+
+  Subspace iteration ON THE PROJECTOR (q <- orth(P q), _PROJECT_ITERS steps):
+  because P is a function of m, P's eigenvectors are m's eigenvectors, so the
+  iteration drives every column toward an exact m-eigendirection — columns
+  converge to either range(P) members (||P q_i|| -> 1), boundary modes
+  (-> p_i < 1), or junk noise (-> ~0). Dropping columns with ||P q_i||^2 <=
+  1/2 then removes exactly the non-range content; any residual cross-mode
+  mixing is confined to eigenvalues within the sign fuzz band of each other,
+  bounding the Ritz error by the band width O(l0 * ||m||). The kept span
+  always contains the full converged range(P) (the requested width k exceeds
+  the number of nonzero projector eigenvalues by the boundary margin), so no
+  genuine direction is partially captured — partial capture, not junk, is
+  what contaminates Ritz values.
+
+  Kept columns are compacted to the front (suffix semantics for the padding
+  sentinels and the recursion's n_valid masking); the returned k_eff counts
+  them.
+  """
+
+  def run(m, p, k, key):
+    g = jax.random.normal(key, (n, k_pad), dtype=m.dtype)
+    col_ok = (jnp.arange(k_pad) < k).astype(m.dtype)
+    y = jnp.matmul(p, g, preferred_element_type=jnp.float32) * col_ok[None, :]
+    for _ in range(_PROJECT_ITERS):
+      q = _cholqr2_shifted(y, k_pad, col_ok)
+      y = jnp.matmul(p, q, preferred_element_type=jnp.float32)
+    q = _cholqr2_shifted(y, k_pad, col_ok)
+    pq = jnp.matmul(p, q, preferred_element_type=jnp.float32)
+    s2 = jnp.sum(pq * pq, axis=0)
+    keep = s2 > 0.5
+    k_eff = jnp.sum(keep).astype(jnp.int32)
+    # Compact kept columns to the front so padding stays a suffix.
+    order = jnp.argsort(jnp.logical_not(keep), stable=True)
+    q = (q * keep[None, :].astype(q.dtype))[:, order]
+    mq = jnp.matmul(m, q, preferred_element_type=jnp.float32)
+    a1 = jnp.matmul(q.T, mq, preferred_element_type=jnp.float32)
+    a1 = 0.5 * (a1 + a1.T)
+    a1 = eigen_ops.apply_padding_sentinels(a1, k_eff, descend)
+    return q, mq, a1, k_eff
+
+  return precise_jit(run)
+
+
+@functools.lru_cache(maxsize=64)
+def _eigh_jit(k_pad: int):
+  del k_pad  # cache key only
+  return precise_jit(jnp.linalg.eigh)
+
+
+@functools.lru_cache(maxsize=64)
+def _back_transform_jit(n: int, k_pad: int, t: int, descend: bool):
+  """Stage 3: residual-filtered extreme-t Ritz extraction + back-transform.
+
+  When the oversampling margin exceeds the block's numerical rank, the extra
+  basis columns are roundoff-noise directions whose Ritz values land
+  anywhere in the spectrum without being eigenvalues of m. Every Ritz pair's
+  residual against the original m identifies them (spurious pairs have
+  O(||m||) residuals, genuine ones O(eps*||m||)); spurious pairs are pushed
+  past the scan end before selecting the t extreme pairs. Sentinel pairs are
+  exact eigenpairs of the padded block with values past the scan end, so
+  they self-exclude.
+  """
+
+  def run(w, u, q, mq, scale):
+    v = jnp.matmul(q, u, preferred_element_type=jnp.float32)
+    mv = jnp.matmul(mq, u, preferred_element_type=jnp.float32)
+    res_all = jnp.linalg.norm(mv - v * w[None, :], axis=0)
+    # ``scale`` is the TOP-LEVEL operand's norm bound: a dense eigensolver's
+    # accuracy promise is absolute, O(eps * ||M||) — measuring residuals
+    # against a near-zero block's local scale would reject structurally-zero
+    # eigenpairs whose absolute error is at the float32 noise floor.
+    # A zeroed basis column yields a zero back-transformed vector with zero
+    # residual — not a usable eigenpair; exclude by norm.
+    vnorm = jnp.linalg.norm(v, axis=0)
+    good = (res_all <= _SPURIOUS_TOL * scale) & (vnorm > 0.5)
+    big = 10.0 * jnp.max(jnp.abs(w)) + 1.0
+    sort_val = jnp.where(good, w, -big if descend else big)
+    order = jnp.argsort(-sort_val if descend else sort_val, stable=True)
+    idx = order[:t]
+    wt = w[idx]
+    vt = v[:, idx]
+    res = jnp.max(
+        jnp.where(vnorm[idx] > 0.5, res_all[idx], jnp.inf)) / scale
+    return wt, vt, res
+
+  return precise_jit(run)
+
+
+@functools.lru_cache(maxsize=64)
+def _dense_topt_jit(n: int, t: int, descend: bool):
+  """Dense endgame: full eigh of a (possibly sentinel-padded) block."""
+
+  def run(m):
+    w, u = jnp.linalg.eigh(m)
+    if descend:
+      w, u = w[::-1], u[:, ::-1]
+    return w[:t], u[:, :t]
+
+  return precise_jit(run)
+
+
+@functools.lru_cache(maxsize=64)
+def _zero_block_jit(n: int, t: int):
+  return precise_jit(lambda sigma: (jnp.full((t,), sigma, jnp.float32),
+                                    jnp.eye(n, t, dtype=jnp.float32)))
+
+
+@functools.lru_cache(maxsize=64)
+def _complement_jit(n: int, with_nvalid: bool):
+  """Spectral-complement projector, sentinel coordinates masked out."""
+
+  def run(p, n_valid):
+    idx = jnp.arange(n)
+    valid = (idx < n_valid) if with_nvalid else jnp.ones((n,), bool)
+    keep = (valid[:, None] & valid[None, :]).astype(p.dtype)
+    pc = (jnp.eye(n, dtype=p.dtype) - p) * keep
+    return pc, jnp.trace(pc)
+
+  if with_nvalid:
+    return precise_jit(run)
+  return precise_jit(lambda p: run(p, None))
+
+
+# ---------------------------------------------------------------------------
+# Host-staged driver.
+# ---------------------------------------------------------------------------
+
+
+def eigh_topk_dc(
+    m: jnp.ndarray,
+    t: int,
+    key: jax.Array,
+    descend: bool = True,
+    n_valid: typing.Optional[int] = None,
+    max_block: int = 8192,
+    _depth: int = 0,
+    _scale: typing.Optional[float] = None,
+) -> typing.Tuple[jnp.ndarray, jnp.ndarray, float]:
+  """Extreme-t eigenpairs of a symmetric m via host-staged spectral D&C.
+
+  Host-orchestrated (NOT jittable): block sizes are read back between stages,
+  exactly like the eigh-split staged executor this feeds. Returns
+  (eigenvalues (t,), eigenvectors (n, t), worst_residual / ||m||), sorted in
+  the scan direction (descending for ``descend=True``). With ``n_valid``, m
+  must already carry padding sentinels (eigen_ops.apply_padding_sentinels) —
+  as produced by the pipeline prep stage and by this function's own recursion.
+
+  ``_scale`` carries the TOP-LEVEL operand's norm bound through the
+  recursion: all residual certificates are absolute, O(eps * ||M_original||)
+  — the accuracy class a dense eigensolver promises. Raises RuntimeError if
+  the certified residual indicates an actual failure.
+  """
+  n = m.shape[0]
+  t = min(t, n if n_valid is None else int(n_valid))
+
+  if n <= max_block:
+    w, u = _dense_topt_jit(n, t, descend)(m)
+    return w, u, 0.0
+
+  with_nvalid = n_valid is not None
+  nv = int(n_valid) if with_nvalid else n
+  if _depth > 8:
+    return _subspace_fallback(m, t, key, descend, n_valid, _scale)
+
+  sign_fn = _sign_project_jit(n, descend, with_nvalid)
+  p, k_f, b_f, sigma, alpha = (
+      sign_fn(m, n_valid) if with_nvalid else sign_fn(m))
+  sigma = float(jax.device_get(sigma))
+  alpha = float(jax.device_get(alpha))
+  bound = abs(sigma) + alpha
+  scale = _scale if _scale is not None else max(bound, 1e-30)
+  if bound <= 1e-6 * scale:
+    # Structurally-zero block (every eigenvalue within float32 noise of 0 at
+    # the original scale): any orthonormal vectors are eigenpairs to the
+    # promised absolute accuracy.
+    w, v = _zero_block_jit(n, t)(jnp.float32(sigma))
+    return w, v, bound / scale
+
+  k_est = int(round(float(jax.device_get(k_f))))
+  k_est = max(1, min(k_est, nv - 1))
+  # Basis margin: covers trace-rounding fuzz plus every boundary eigenvalue
+  # (those with non-converged sign) — the count of nonzero projector
+  # eigenvalues can exceed round(trace(P)) by the boundary-mode count, and a
+  # partially-captured direction would contaminate the Ritz values with
+  # subspace mixtures. Each mode with p in [0.15, 0.85] contributes
+  # p(1-p) >= 0.1275 to the boundary mass, so 8*b_f covers their count.
+  margin = 8 + int(math.ceil(8.0 * float(jax.device_get(b_f))))
+  k_cover = min(k_est + margin, nv)
+  if k_cover >= nv - 8:
+    # The split achieved no meaningful reduction (spectrum concentrated at
+    # its mean, or a boundary cluster spanning most of the block). Iterative
+    # certified fallback: degenerate dominant clusters — the case spectral
+    # splitting cannot separate — are exactly where subspace iteration
+    # converges fastest.
+    return _subspace_fallback(m, t, key, descend, n_valid, scale)
+
+  key_basis, key_comp, key_rec = jax.random.split(key, 3)
+
+  if k_est >= t + 8:
+    # Common case: the kept-side block covers the t requested eigenpairs.
+    k_pad = _bucket(k_cover)
+    q, mq, a1, k_eff = _project_block_jit(n, k_pad, descend)(m, p, k_cover,
+                                                             key_basis)
+    k_eff = int(jax.device_get(k_eff))
+    w, v, res = _topt_of_block(a1, m, q, mq, t, key_rec, descend, k_eff,
+                               k_pad, max_block, _depth, scale)
+    _check_residual(res)
+    return w, v, res
+
+  # The kept-side block is too small to cover all t requested eigenpairs:
+  # solve it fully, then recurse on the spectral complement for the rest.
+  k_pad = _bucket(k_cover)
+  q, mq, a1, k_eff = _project_block_jit(n, k_pad, descend)(m, p, k_cover,
+                                                           key_basis)
+  k_eff = int(jax.device_get(k_eff))
+  t1 = min(t, k_est, k_eff)
+  wt1, vt1, res1 = _topt_of_block(a1, m, q, mq, t1, key_rec, descend,
+                                  k_eff, k_pad, max_block, _depth, scale)
+  t_rem = t - t1
+  if t_rem == 0:
+    _check_residual(res1)
+    return wt1, vt1, res1
+  comp_fn = _complement_jit(n, with_nvalid)
+  pc, kc_f = comp_fn(p, n_valid) if with_nvalid else comp_fn(p)
+  kc_est = max(t_rem, min(int(round(float(jax.device_get(kc_f)))), nv - 1))
+  kc_cover = min(kc_est + margin, nv)
+  kc_pad = _bucket(kc_cover)
+  qc, mqc, a2, kc_eff = _project_block_jit(n, kc_pad, descend)(m, pc,
+                                                               kc_cover,
+                                                               key_comp)
+  kc_eff = int(jax.device_get(kc_eff))
+  w2, v2, res2 = _topt_of_block(a2, m, qc, mqc, t_rem, key_comp, descend,
+                                kc_eff, kc_pad, max_block, _depth, scale)
+  # Re-sort the merged pairs: values within the boundary fuzz of sigma can
+  # interleave across the two blocks.
+  wt, vt = _merge_sorted_jit(n, t, descend)(wt1, w2, vt1, v2)
+  res = max(res1, res2)
+  _check_residual(res)
+  return wt, vt, res
+
+
+def _topt_of_block(a1, m, q, mq, t, key, descend, k_use, k_pad, max_block,
+                   depth, scale):
+  """Extreme-t eigenpairs of the original m restricted to span(q).
+
+  a1 = q^T m q (sentinel-padded to k_use valid entries); eigh it directly if
+  it fits a single program, else recurse the divide-and-conquer on it. The
+  recursion path requests an overshoot pool and RE-VERIFIES the lifted pairs
+  against this level's m: a spurious oversampling pair inserted at a deeper
+  projection is a genuine eigenpair of every deeper block (so deeper
+  residual checks cannot see it) but not of this level's matrix — stepwise
+  re-verification therefore composes into a certificate against the original
+  top-level operand.
+  """
+  n = m.shape[0]
+  if k_pad <= max_block:
+    w1, u1 = _eigh_jit(k_pad)(a1)
+    wt, vt, res = _back_transform_jit(n, k_pad, t, descend)(
+        w1, u1, q, mq, jnp.float32(scale))
+    return wt, vt, float(jax.device_get(res))
+  t_pool = min(t + 8, k_use)
+  wp, up, _ = eigh_topk_dc(a1, t_pool, key, descend=descend, n_valid=k_use,
+                           max_block=max_block, _depth=depth + 1,
+                           _scale=scale)
+  wt, vt, res = _verify_select_jit(n, k_pad, t_pool, t, descend)(
+      m, q, wp, up, jnp.float32(scale))
+  return wt, vt, float(jax.device_get(res))
+
+
+@functools.lru_cache(maxsize=64)
+def _verify_select_jit(n: int, k_pad: int, t_pool: int, t: int,
+                       descend: bool):
+  """Lift a pool of block eigenpairs and keep the t extreme verified ones."""
+
+  def run(m, q, wp, up, scale):
+    v = jnp.matmul(q, up, preferred_element_type=jnp.float32)
+    mv = jnp.matmul(m, v, preferred_element_type=jnp.float32)
+    res_all = jnp.linalg.norm(mv - v * wp[None, :], axis=0)
+    vnorm = jnp.linalg.norm(v, axis=0)
+    good = (res_all <= _SPURIOUS_TOL * scale) & (vnorm > 0.5)
+    big = 10.0 * jnp.maximum(jnp.max(jnp.abs(wp)), scale) + 1.0
+    sort_val = jnp.where(good, wp, -big if descend else big)
+    order = jnp.argsort(-sort_val if descend else sort_val, stable=True)
+    idx = order[:t]
+    wt = wp[idx]
+    vt = v[:, idx]
+    res = jnp.max(
+        jnp.where(vnorm[idx] > 0.5, res_all[idx], jnp.inf)) / scale
+    return wt, vt, res
+
+  return precise_jit(run)
+
+
+@functools.lru_cache(maxsize=64)
+def _merge_sorted_jit(n: int, t: int, descend: bool):
+
+  def run(w1, w2, v1, v2):
+    w = jnp.concatenate([w1, w2])
+    v = jnp.concatenate([v1, v2], axis=1)
+    order = jnp.argsort(-w if descend else w, stable=True)
+    return w[order], v[:, order]
+
+  return precise_jit(run)
+
+
+@functools.lru_cache(maxsize=64)
+def _subspace_jit(n: int, t: int, descend: bool, with_nvalid: bool):
+  """Residual-gated subspace iteration on a shift-positivized operand.
+
+  Used when spectral splitting cannot make progress: the spectrum is
+  concentrated (possibly degenerate) around its mean — precisely the regime
+  where block power iteration converges in a handful of steps. The kept-side
+  extreme is made dominant by shifting with the Gershgorin bound b of the
+  valid block (m + b*I for the top side, b*I - m for the bottom); padded
+  coordinates become exact zero modes, below every shifted valid eigenvalue.
+  """
+
+  def run(m, n_valid, key):
+    idx = jnp.arange(n)
+    valid = (idx < n_valid) if with_nvalid else jnp.ones((n,), bool)
+    keep = valid[:, None] & valid[None, :]
+    mm = jnp.where(keep, m, 0.0)
+    b = jnp.max(jnp.sum(jnp.abs(mm), axis=1)) + 1.0
+    vdiag = jnp.where(valid, 1.0, 0.0)
+    op = (mm + b * jnp.diag(vdiag)) if descend else (b * jnp.diag(vdiag) - mm)
+    w_s, v = eigen_ops.topk_eigh_subspace(
+        op, t, key, num_iters=32, largest=True, residual_tol=1e-6,
+        max_iters=2048)
+    w = (w_s - b) if descend else (b - w_s)
+    mv = jnp.matmul(mm, v, preferred_element_type=jnp.float32)
+    rt = mv - v * w[None, :]
+    res_abs = jnp.max(jnp.linalg.norm(rt, axis=0))
+    return w, v, res_abs, b
+
+  if with_nvalid:
+    return precise_jit(run)
+  return precise_jit(lambda m, key: run(m, None, key))
+
+
+def _subspace_fallback(m, t, key, descend, n_valid, scale=None):
+  n = m.shape[0]
+  with_nvalid = n_valid is not None
+  fn = _subspace_jit(n, t, descend, with_nvalid)
+  w, v, res_abs, b = fn(m, n_valid, key) if with_nvalid else fn(m, key)
+  res_abs, b = float(jax.device_get(res_abs)), float(jax.device_get(b))
+  res = res_abs / (scale if scale is not None else max(b, 1e-30))
+  _check_residual(res)
+  return w, v, res
+
+
+def _check_residual(res: float) -> None:
+  if not np.isfinite(res) or res > _FAIL_RESIDUAL:
+    raise RuntimeError(
+        f"eigh_topk_dc: certified eigenpair residual {res:.2e} exceeds "
+        f"{_FAIL_RESIDUAL:.0e} — the spectral split failed numerically. "
+        "Use EigenSolver.SubspaceIteration or a sharded eigensolver.")

@@ -142,6 +142,15 @@ class PipelineConfig:
   subspace_iters: int = 24
   subspace_residual_tol: typing.Optional[float] = 2e-3
   subspace_max_iters: int = 384
+  # Above this padded size, the eigh-split staged executor replaces the
+  # single-program eigh with the host-staged spectral divide-and-conquer
+  # top-k solver (ops/dc.py): XLA's one-program eigh needs ~17.7 GB of HBM
+  # temporaries at N=10240 (vs 15.75 GB on a v5e chip) because its QDWH
+  # recursion holds every level's buffers simultaneously; the staged solver
+  # bounds each stage to ~6 (N, N) buffers while keeping dense-eigensolver
+  # accuracy (certified by per-pair residuals). Requires max_clusters (it
+  # computes the max_clusters+1 extreme eigenpairs the eigengap reads).
+  dc_max_block: int = 8192
   # In-graph auto-tune (level-1 candidate sweep) for the fully-jitted paths;
   # the host-orchestrated SpectralClusterer uses autotune.AutoTune instead.
   autotune: typing.Optional[AutoTuneStatic] = None
@@ -520,6 +529,23 @@ def _staged_jits(cfg: PipelineConfig, with_constraint: bool,
                                               n_valid, 0.001)
       return labels, n_clusters, eigenvalues, max_delta
 
+  def finish_topk(w, u, scale, key, n_valid):
+    """Finish from t extreme eigenpairs (already in scan order) — the
+    spectral-D&C analog of the monolithic SubspaceIteration handling: all
+    returned eigenvalues are valid, so the gap scan runs unmasked."""
+    with jax.default_matmul_precision(cfg.matmul_precision):
+      eigenvectors = eigen_ops.recover_similarity_eigenvectors(
+          u, scale, n_valid)
+      eigenvalues = eigen_ops.snap_small_eigenvalues(
+          w, n_valid=None, tol=cfg.eigenvalue_snap_tol)
+      n_gap, max_delta = eigen_ops.compute_number_of_clusters(
+          eigenvalues, max_clusters=cfg.max_clusters,
+          stop_eigenvalue=cfg.stop_eigenvalue,
+          eigengap_type=cfg.eigengap_type, descend=descend, n_valid=None)
+      labels, n_clusters = _cluster_from_eigs(eigenvectors, n_gap, cfg, key,
+                                              n_valid, 0.001)
+      return labels, n_clusters, eigenvalues, max_delta
+
   if with_constraint and with_nvalid:
     prep_jit = precise_jit(lambda e, c, nv: prep(e, c, nv))
   elif with_constraint:
@@ -531,9 +557,13 @@ def _staged_jits(cfg: PipelineConfig, with_constraint: bool,
   eigh_jit = precise_jit(jnp.linalg.eigh)
   if with_nvalid:
     finish_jit = precise_jit(lambda w, u, s, k, nv: finish(w, u, s, k, nv))
+    finish_topk_jit = precise_jit(
+        lambda w, u, s, k, nv: finish_topk(w, u, s, k, nv))
   else:
     finish_jit = precise_jit(lambda w, u, s, k: finish(w, u, s, k, None))
-  return prep_jit, eigh_jit, finish_jit
+    finish_topk_jit = precise_jit(
+        lambda w, u, s, k: finish_topk(w, u, s, k, None))
+  return prep_jit, eigh_jit, finish_jit, finish_topk_jit
 
 
 def spectral_cluster_fixed_k_staged(
@@ -565,14 +595,29 @@ def spectral_cluster_fixed_k_staged(
                                 constraint_matrix=constraint_matrix,
                                 n_valid=n_valid)
   with_nvalid = n_valid is not None
-  prep_jit, eigh_jit, finish_jit = _staged_jits(cfg, with_constraint,
-                                                with_nvalid)
+  prep_jit, eigh_jit, finish_jit, finish_topk_jit = _staged_jits(
+      cfg, with_constraint, with_nvalid)
   args = [embeddings]
   if with_constraint:
     args.append(constraint_matrix)
   if with_nvalid:
     args.append(n_valid)
   m, scale = prep_jit(*args)
+  n_pad = m.shape[0]
+  if (n_pad > cfg.dc_max_block and cfg.max_clusters is not None
+      and cfg.eigensolver == EigenSolver.Auto):
+    # Past the single-program eigh's HBM wall: host-staged spectral
+    # divide-and-conquer for the max_clusters+1 extreme eigenpairs — the
+    # only ones the eigengap scan reads (reference utils.py:74-130) — with
+    # dense-eigensolver accuracy, residual-certified (ops/dc.py).
+    from spectralcluster_tpu.ops import dc as dc_ops
+    w, u, _ = dc_ops.eigh_topk_dc(
+        m, cfg.max_clusters + 1, jax.random.PRNGKey(17),
+        descend=_descend(cfg),
+        n_valid=int(n_valid) if with_nvalid else None,
+        max_block=cfg.dc_max_block)
+    tail = [w, u, scale, key] + ([n_valid] if with_nvalid else [])
+    return finish_topk_jit(*tail)
   w, u = eigh_jit(m)
   tail = [w, u, scale, key] + ([n_valid] if with_nvalid else [])
   return finish_jit(*tail)

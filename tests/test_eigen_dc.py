@@ -1,0 +1,198 @@
+"""Host-staged spectral divide-and-conquer eigensolver (ops/dc.py).
+
+This solver exists because XLA's single-program eigh exceeds one chip's HBM
+at N>=~10k (its QDWH recursion holds every level's temporaries at once);
+ops/dc.py runs the same backward-stable polar-based divide-and-conquer as a
+few memory-bounded staged programs. These tests pin its accuracy against
+numpy's LAPACK eigh across adversarial spectra (tiny max_block values force
+deep recursion, boundary clusters, rank-deficient oversampling), and pin the
+staged pipeline executor's DC path against the monolithic full-eigh labels.
+"""
+
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401  (re-exec env setup)
+
+import jax
+import jax.numpy as jnp
+
+from spectralcluster_tpu import configs, pipeline
+from spectralcluster_tpu.ops import dc, eigen as eigen_ops
+from spectralcluster_tpu.precision import precise_jit
+
+_RNG = np.random.RandomState(0)
+
+
+def _make_sym(n, eigs):
+  q, _ = np.linalg.qr(_RNG.randn(n, n))
+  return (q * np.asarray(eigs)[None, :]) @ q.T
+
+
+def _check(A, t=8, descend=True, max_block=128, n_valid=None,
+           werr_tol=5e-4, vres_tol=5e-3):
+  A32 = jnp.asarray(A.astype(np.float32))
+  if n_valid is not None:
+    A32 = eigen_ops.apply_padding_sentinels(A32, n_valid, descend)
+  w, v, res = dc.eigh_topk_dc(A32, t, jax.random.PRNGKey(0), descend=descend,
+                              n_valid=n_valid, max_block=max_block)
+  w, v = np.asarray(w), np.asarray(v)
+  nv = n_valid if n_valid is not None else A.shape[0]
+  ref = np.linalg.eigh(A[:nv, :nv].astype(np.float64))[0]
+  ref = ref[::-1][:t] if descend else ref[:t]
+  scale = max(np.max(np.abs(ref)), 1e-30)
+  np.testing.assert_allclose(w, ref, atol=werr_tol * scale, rtol=0)
+  av = A[:nv, :nv] @ v[:nv]
+  vres = np.max(np.linalg.norm(av - v[:nv] * w[None, :], axis=0)) / scale
+  assert vres < vres_tol, vres
+  # returned eigenvectors are orthonormal over the valid rows
+  g = v[:nv].T @ v[:nv]
+  np.testing.assert_allclose(g, np.eye(t), atol=5e-3)
+
+
+class TestMatrixSign:
+
+  def test_sign_matches_eigh_sign(self):
+    n = 192
+    eigs = np.concatenate([np.linspace(-3, -0.01, 90),
+                           np.linspace(0.02, 5, n - 90)])
+    h = _make_sym(n, eigs).astype(np.float32)
+    alpha = np.abs(h).sum(1).max()
+    u = np.asarray(dc.matrix_sign(jnp.asarray(h / alpha)))
+    wref, vref = np.linalg.eigh(h.astype(np.float64))
+    uref = (vref * np.sign(wref)[None, :]) @ vref.T
+    np.testing.assert_allclose(u, uref, atol=2e-3)
+    assert np.abs(u @ u - np.eye(n)).max() < 2e-3
+
+  def test_schedule_converges(self):
+    coeffs = dc._qdwh_coeffs()
+    assert 3 <= len(coeffs) <= 8
+    # the final map must have near-unity fixed point behavior
+    a, b, c = coeffs[-1]
+    assert abs((a + b) / (1 + c) - 1.0) < 1e-6
+
+
+class TestEighTopkDC:
+
+  def test_two_dominant_plus_bulk_descend(self):
+    # The bench-fixture shape: a few huge eigenvalues + noise bulk; the mean
+    # split leaves a kept block smaller than t, exercising the complement
+    # recursion and merge.
+    n = 512
+    eigs = np.concatenate([[260.0, 250.0], _RNG.randn(n - 2) * 0.5])
+    _check(_make_sym(n, eigs))
+
+  def test_uniform_descend_and_ascend(self):
+    n = 512
+    a = _make_sym(n, np.linspace(-5, 5, n))
+    _check(a)
+    _check(a, descend=False)
+
+  def test_degenerate_cluster_at_mean(self):
+    # A 112-fold degenerate cluster exactly at the split point: boundary
+    # mass forces the oversampled basis margin; deeper levels with a >max
+    # block degeneracy exercise the subspace-iteration fallback.
+    n = 512
+    eigs = np.concatenate(
+        [np.full(200, 1.0), np.full(112, 3.0), np.full(200, 5.0)])
+    _check(_make_sym(n, eigs))
+
+  def test_laplacian_like_ascend(self):
+    # Near-zero bottom cluster + bulk: the case where spurious oversampling
+    # Ritz pairs inserted at a mid-level projection polluted the bottom-t
+    # until stepwise re-verification was added.
+    n = 512
+    eigs = np.concatenate([[0.0, 1e-3, 2e-3], np.linspace(0.5, 2.0, n - 3)])
+    _check(_make_sym(n, eigs), descend=False)
+
+  def test_padded_sentinels_both_directions(self):
+    n, nv = 512, 400
+    a = np.zeros((n, n))
+    a[:nv, :nv] = _make_sym(nv, np.linspace(-2, 7, nv))
+    _check(a, n_valid=nv)
+    _check(a, n_valid=nv, descend=False)
+
+  def test_deep_recursion(self):
+    n = 512
+    _check(_make_sym(n, np.linspace(0.1, 50, n)), max_block=64)
+
+  def test_negative_heavy_descend(self):
+    n = 512
+    eigs = np.concatenate(
+        [np.linspace(-50, -1, n - 8), np.linspace(1, 4, 8)])
+    _check(_make_sym(n, eigs))
+
+  def test_dense_endgame_matches(self):
+    # n <= max_block short-circuits to a plain eigh slice.
+    n = 128
+    a = _make_sym(n, np.linspace(-1, 1, n)).astype(np.float32)
+    w, v, res = dc.eigh_topk_dc(jnp.asarray(a), 8, jax.random.PRNGKey(0),
+                                max_block=256)
+    ref = np.linalg.eigh(a.astype(np.float64))[0][::-1][:8]
+    np.testing.assert_allclose(np.asarray(w), ref, atol=1e-4)
+    assert res == 0.0
+
+
+class TestStagedPipelineDC:
+  """The staged executor's DC path vs the monolithic full-eigh labels."""
+
+  def _embeddings(self, n=96, d=16, k=3, seed=0):
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(k, d) * 3
+    labels = np.repeat(np.arange(k), n // k)
+    return jnp.asarray(
+        (centers[labels] + rng.randn(n, d) * 0.3).astype(np.float32))
+
+  def _run_both(self, cfg, x, n_valid=None):
+    key = jax.random.PRNGKey(0)
+    mono = precise_jit(
+        lambda e, k: pipeline.spectral_cluster_fixed_k(
+            e, k, cfg.replace(dc_max_block=8192), n_valid=n_valid))
+    got_m = jax.device_get(mono(x, key))
+    got_s = jax.device_get(pipeline.spectral_cluster_fixed_k_staged(
+        x, key, cfg, n_valid=n_valid))
+    return got_m, got_s
+
+  def test_icassp2018_dc_labels_match(self):
+    # dc_max_block forced below N so the staged executor takes the DC path.
+    cfg = pipeline.PipelineConfig(
+        refinement_options=configs.icassp2018_refinement_options(),
+        min_clusters=2, max_clusters=7, dc_max_block=48)
+    got_m, got_s = self._run_both(cfg, self._embeddings())
+    labels_m, nc_m = got_m[0], got_m[1]
+    labels_s, nc_s = got_s[0], got_s[1]
+    np.testing.assert_array_equal(labels_m, labels_s)
+    assert int(nc_m) == int(nc_s)
+    # DC returns only the max_clusters+1 extreme eigenvalues; they must
+    # match the leading monolithic ones.
+    w_m, w_s = got_m[2], got_s[2]
+    scale = max(np.max(np.abs(w_m)), 1.0)
+    np.testing.assert_allclose(w_m[:len(w_s)], w_s, atol=2e-4 * scale)
+
+  def test_padded_dc_labels_match(self):
+    x = self._embeddings(n=90)
+    xp = jnp.concatenate([x, jnp.zeros((38, x.shape[1]), x.dtype)], axis=0)
+    cfg = pipeline.PipelineConfig(
+        refinement_options=configs.icassp2018_refinement_options(),
+        min_clusters=2, max_clusters=7, dc_max_block=48)
+    got_m, got_s = self._run_both(cfg, xp, n_valid=90)
+    np.testing.assert_array_equal(got_m[0], got_s[0])
+    assert int(got_m[1]) == int(got_s[1])
+
+  def test_laplacian_ascend_dc_labels_match(self):
+    from spectralcluster_tpu.types import (EigenGapType, LaplacianType,
+                                           RefinementName, RefinementOptions,
+                                           ThresholdType)
+    cfg = pipeline.PipelineConfig(
+        refinement_options=RefinementOptions(
+            thresholding_type=ThresholdType.Percentile,
+            p_percentile=0.9,
+            refinement_sequence=(RefinementName.RowWiseThreshold,
+                                 RefinementName.Symmetrize)),
+        laplacian_type=LaplacianType.GraphCut,
+        eigengap_type=EigenGapType.NormalizedDiff,
+        min_clusters=1, max_clusters=5, row_wise_renorm=True,
+        dc_max_block=48)
+    got_m, got_s = self._run_both(cfg, self._embeddings(seed=1))
+    np.testing.assert_array_equal(got_m[0], got_s[0])
+    assert int(got_m[1]) == int(got_s[1])
