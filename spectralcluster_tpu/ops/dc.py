@@ -15,10 +15,11 @@ spectral divide-and-conquer (Nakatsukasa & Higham, SIAM J. Sci. Comput. 2013)
 — as a few small host-staged XLA programs, so each stage's HBM footprint is
 bounded by ~6 (N, N) buffers (~2.4 GB at N=10240):
 
-  1. ``matrix_sign``: U = sign(A - sigma*I) via Cholesky-form QDWH with a
-     host-precomputed coefficient schedule. Pure matmul + Cholesky +
-     triangular-solve — no QR of stacked matrices, no per-panel unrolling;
-     everything maps onto the MXU. sigma = mean eigenvalue (masked trace / n).
+  1. ``matrix_sign``: U = sign(A - sigma*I) via an accelerated Newton–Schulz
+     polynomial iteration — MATMUL-ONLY (TPU Cholesky/triangular solves and
+     QR with large right-hand sides compile into per-panel buffer chains
+     that themselves exceed HBM at N~10k); everything maps onto the MXU.
+     sigma = mean eigenvalue (masked trace / n).
   2. Randomized range finder on the spectral projector P = (I ± U)/2 with a
      shift-stabilized CholeskyQR2 (again matmul-only), giving an orthonormal
      basis Q of the invariant subspace of the eigenvalues on the kept side of
@@ -73,70 +74,43 @@ _FAIL_RESIDUAL = 1e-2
 _SPURIOUS_TOL = 3e-3
 
 
-def _qdwh_coeffs(l0: float = _SIGN_L0,
-                 max_iters: int = 12) -> typing.List[typing.Tuple[float, float, float]]:
-  """Host-precomputed dynamic QDWH coefficient schedule.
-
-  Standard recurrence (Nakatsukasa–Bai–Gygi): per iteration, with l the
-  current lower bound on |eigenvalues| of the iterate,
-    gamma = (4 (1 - l^2) / l^4)^(1/3)
-    a = sqrt(1 + gamma) + 0.5 * sqrt(8 - 4 gamma + 8 (2 - l^2) / (l^2 sqrt(1 + gamma)))
-    b = (a - 1)^2 / 4,  c = a + b - 1
-    l <- l (a + b l^2) / (1 + c l^2)
-  Converges to l = 1 in ~4 iterations from l0 = 1e-4. Computed in float64 on
-  the host; the schedule is static, so the device loop fully unrolls.
-  """
-  coeffs = []
-  l = float(l0)
-  while 1.0 - l > 1e-10 and len(coeffs) < max_iters:
-    g = (4.0 * (1.0 - l * l) / (l ** 4)) ** (1.0 / 3.0)
-    a = math.sqrt(1.0 + g) + 0.5 * math.sqrt(
-        8.0 - 4.0 * g + 8.0 * (2.0 - l * l) / (l * l * math.sqrt(1.0 + g)))
-    b = (a - 1.0) ** 2 / 4.0
-    c = a + b - 1.0
-    coeffs.append((a, b, c))
-    l = l * (a + b * l * l) / (1.0 + c * l * l)
-  return coeffs
+# Accelerated-Newton–Schulz sign schedule: quintic steps with the
+# overshoot-bounded coefficients used by Muon-style orthogonalizers
+# (f(x) = a x + b x^3 + c x^5 has f'(0) ~ 3.44, no positive roots, and maps
+# [0, 1.21] into itself), then plain cubic Newton–Schulz for quadratic
+# convergence to 1. Scalar-sweep validated: 8 quintic + 5 cubic steps take
+# every |eigenvalue| in [1e-4, 1] to within 4e-12 of 1 (float32 floors this
+# at its ~1e-6 noise level). 31 matmuls total.
+_QUINTIC = (3.4445, -4.7750, 2.0315)
+_SIGN_QUINTIC_STEPS = 8
+_SIGN_NS_STEPS = 5
 
 
-def _chol_solve_refined(z: jnp.ndarray, rhs: jnp.ndarray,
-                        refine: int) -> jnp.ndarray:
-  """Solve z s = rhs (z symmetric PD) with optional iterative refinement.
-
-  The first QDWH iteration has cond(z) ~ c ~ 3e5; a plain float32 Cholesky
-  solve loses ~cond*eps ~ 2e-2 relative accuracy there. One refinement pass
-  (one extra matmul + solve) squares that error away; later iterations have
-  cond(z) < 100 and skip refinement.
-  """
-  w = jnp.linalg.cholesky(z)
-  s = jax.scipy.linalg.cho_solve((w, True), rhs)
-  for _ in range(refine):
-    r = rhs - jnp.matmul(z, s, preferred_element_type=jnp.float32)
-    s = s + jax.scipy.linalg.cho_solve((w, True), r)
-  return s
-
-
-def matrix_sign(x: jnp.ndarray, l0: float = _SIGN_L0,
-                polish: int = 2) -> jnp.ndarray:
+def matrix_sign(x: jnp.ndarray) -> jnp.ndarray:
   """Matrix sign of a symmetric x with ||x||_2 <= 1 (caller pre-scales).
 
-  Cholesky-form QDWH: x' = (b/c) x + (a - b/c) (z^{-1} x)^T with
-  z = I + c x^2 — mathematically identical to the QR form (the QR of the
-  stacked [sqrt(c) x; I] computes the same z^{-1} applied to x) but built
-  from matmul/Cholesky/triangular-solve only, which XLA maps onto the MXU
-  with a constant number of (N, N) buffers. Finishes with Newton–Schulz
-  polish steps (x <- 1.5 x - 0.5 x^3) to clean orthogonality in float32.
+  MATMUL-ONLY by design: on this TPU toolchain, both Cholesky/triangular
+  solves and QR with a large right-hand side compile into per-panel
+  dynamic-update-slice chains whose rematerialized buffers exceed HBM at
+  N~10k (measured: 16.4 GB for one N=10240 cho_solve; 15.8 GB for
+  jax.scipy.linalg.polar's QR) — while plain matmuls stream through the MXU
+  with a constant number of (N, N) buffers. The polynomial iteration
+  x <- a x + b x^3 + c x^5 followed by Newton–Schulz polish needs nothing
+  else and is self-correcting under float32 rounding.
 
-  Eigenvalues of magnitude below ``l0`` (relative) may land on either side
-  of zero — the inherent boundary ambiguity of any sign-based splitting.
+  Eigenvalues of magnitude below ~_SIGN_L0 (relative) may land on either
+  side of zero — the inherent boundary ambiguity of any sign-based
+  splitting (XLA's own eigh divide-and-conquer shares it).
   """
-  for a, b, c in _qdwh_coeffs(l0):
-    z = jnp.eye(x.shape[0], dtype=x.dtype) + c * jnp.matmul(
-        x, x, preferred_element_type=jnp.float32)
-    s = _chol_solve_refined(z, x, refine=1 if c > 1e3 else 0)
-    x = (b / c) * x + (a - b / c) * s.T
+  a, b, c = _QUINTIC
+  for _ in range(_SIGN_QUINTIC_STEPS):
+    x2 = jnp.matmul(x, x, preferred_element_type=jnp.float32)
+    x4 = jnp.matmul(x2, x2, preferred_element_type=jnp.float32)
+    n = x.shape[0]
+    poly = a * jnp.eye(n, dtype=x.dtype) + b * x2 + c * x4
+    x = jnp.matmul(x, poly, preferred_element_type=jnp.float32)
     x = 0.5 * (x + x.T)
-  for _ in range(polish):
+  for _ in range(_SIGN_NS_STEPS):
     x2 = jnp.matmul(x, x, preferred_element_type=jnp.float32)
     x = 1.5 * x - 0.5 * jnp.matmul(x, x2, preferred_element_type=jnp.float32)
     x = 0.5 * (x + x.T)
@@ -208,6 +182,20 @@ def _sign_project_jit(n: int, descend: bool, with_nvalid: bool):
 _PROJECT_ITERS = 6
 
 
+def _solve_tri_chunked(r, rhs, chunk=2048):
+  """solve_triangular(r, rhs) with the right-hand side split into column
+  chunks. TPU triangular_solve compiles into a per-panel
+  dynamic-update-slice chain whose rematerialized buffers scale with the
+  FULL RHS width (measured 16.4 GB for one (10240, 10240) solve); chunking
+  bounds each solve's buffers to (k, chunk) panels."""
+  n_cols = rhs.shape[1]
+  outs = [
+      jax.scipy.linalg.solve_triangular(r, rhs[:, i:i + chunk], lower=True)
+      for i in range(0, n_cols, chunk)
+  ]
+  return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+
+
 def _cholqr2_shifted(y, k_pad, col_ok):
   """Shift-stabilized CholeskyQR2: orthonormalize possibly rank-deficient y.
 
@@ -220,7 +208,7 @@ def _cholqr2_shifted(y, k_pad, col_ok):
     delta = 1e-6 * jnp.maximum(jnp.max(jnp.diag(gram)), 1e-30)
     r = jnp.linalg.cholesky(gram + delta * jnp.eye(k_pad, dtype=y.dtype))
     # y <- y r^{-T} (r lower): solve r q^T = y^T.
-    y = jax.scipy.linalg.solve_triangular(r, y.T, lower=True).T
+    y = _solve_tri_chunked(r, y.T).T
     y = y * col_ok[None, :]
   return y
 

@@ -64,12 +64,19 @@ class TestMatrixSign:
     np.testing.assert_allclose(u, uref, atol=2e-3)
     assert np.abs(u @ u - np.eye(n)).max() < 2e-3
 
-  def test_schedule_converges(self):
-    coeffs = dc._qdwh_coeffs()
-    assert 3 <= len(coeffs) <= 8
-    # the final map must have near-unity fixed point behavior
-    a, b, c = coeffs[-1]
-    assert abs((a + b) / (1 + c) - 1.0) < 1e-6
+  def test_schedule_converges_scalar(self):
+    # The static quintic+Newton–Schulz schedule must take every eigenvalue
+    # magnitude in [l0, 1] to 1 (exact arithmetic check of the polynomial
+    # composition the device applies).
+    a, b, c = dc._QUINTIC
+    x = np.concatenate([np.logspace(-4, 0, 4001), [1.0]])
+    y = x.copy()
+    for _ in range(dc._SIGN_QUINTIC_STEPS):
+      y = a * y + b * y ** 3 + c * y ** 5
+      assert np.abs(y).max() < 1.25  # stays inside the Newton–Schulz basin
+    for _ in range(dc._SIGN_NS_STEPS):
+      y = 1.5 * y - 0.5 * y ** 3
+    assert np.abs(y - 1.0).max() < 1e-9
 
 
 class TestEighTopkDC:
