@@ -15,43 +15,113 @@ benchmarks/record_reference_labels.py) via permutation-invariant comparison
 — a speedup only counts if the answer matches (VERDICT r1 item 1). The JSON
 carries "parity": true/false per measured solver.
 
+Deliverability design (VERDICT r2 item 1 — the round-2 record was lost to a
+461 s cold compile blowing the driver budget):
+  * every solver leg runs in a SUBPROCESS with a timeout derived from the
+    remaining deadline budget (SCT_BENCH_DEADLINE_S, default 500 s), so one
+    slow cold compile can never prevent the final JSON from printing;
+  * the headline solver walks an N-ladder (10240 -> 4096 -> 2048): if the
+    target size cannot be measured inside the budget, a smaller measured
+    speedup is reported (flagged "degraded") instead of nothing;
+  * truncated .jax_cache entries (a killed run leaves one; JAX then warns
+    ZstdError and cold-compiles forever after) are detected and deleted
+    before any compilation;
+  * a committed warm-cache mirror (benchmarks/warm_cache/) is restored into
+    .jax_cache so a fresh checkout starts warm.
+
 Measures BOTH eigensolvers at the bench size:
+  * SubspaceIteration — the O(N^2 k) top-k path, staged at N>=8192 (three
+    small independently-cached programs; the monolith cold-compiles for
+    minutes through this environment's remote-compile tunnel);
   * full eigh — the exact-parity path (same O(N^3) algorithm class as the
-    reference's np.linalg.eig, reference utils.py:59);
-  * SubspaceIteration — the O(N^2 k) top-k path (residual-gated; computes
-    only the max_clusters+1 eigenpairs the eigengap reads).
+    reference's np.linalg.eig, reference utils.py:59); at N>=8192 the staged
+    executor routes it through the host-staged spectral divide-and-conquer
+    top-k solver (ops/dc.py) past the single-program HBM/compiler wall.
 
 Runs on whatever backend jax selects (the real TPU chip under the driver).
 Env knobs: SCT_BENCH_N, SCT_BENCH_SOLVER (limit to one solver),
-SCT_BENCH_PRECISION.
+SCT_BENCH_PRECISION, SCT_BENCH_DEADLINE_S, SCT_BENCH_SAVE_WARM=1.
 """
 
 import json
 import os
+import shutil
+import subprocess
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-import jax
-import jax.numpy as jnp
-
-# Persistent compilation cache: cold compiles through this environment's
-# remote-compile tunnel take minutes and scale with N; cached reruns are
-# instant.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-
-from spectralcluster_tpu import configs, pipeline, utils
-from spectralcluster_tpu.precision import precise
-
 _HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
+
+_START = time.time()
 BASELINE_PATH = os.path.join(_HERE, "benchmarks", "baseline_numpy.json")
 REF_LABELS_PATH = os.path.join(_HERE, "benchmarks", "reference_labels.npz")
+CACHE_DIR = os.path.join(_HERE, ".jax_cache")
+WARM_CACHE_DIR = os.path.join(_HERE, "benchmarks", "warm_cache")
+
+# Leave this much of the budget for the final JSON print + interpreter exit.
+_RESERVE_S = 10.0
+# Don't bother starting a leg with less than this much budget left: jax
+# import + backend init alone costs ~15-20 s in a subprocess.
+_MIN_LEG_S = 45.0
+
+
+def _log(msg):
+  print(msg, file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# Compile-cache hygiene.
+# ---------------------------------------------------------------------------
+
+
+def heal_compile_cache():
+  """Delete truncated .jax_cache entries and restore the committed mirror.
+
+  A TPU run killed mid-cache-write leaves a truncated zstd frame; JAX then
+  warns `ZstdError: did not decompress full frame` on every read and
+  recompiles cold each time WITHOUT overwriting the bad entry — the exact
+  failure mode that cost round 2 its bench record (461 s cold compile).
+  """
+  os.makedirs(CACHE_DIR, exist_ok=True)
+  try:
+    import zstandard
+  except ImportError:  # pragma: no cover - zstandard ships with jax here
+    zstandard = None
+  if zstandard is not None:
+    for name in os.listdir(CACHE_DIR):
+      path = os.path.join(CACHE_DIR, name)
+      try:
+        with open(path, "rb") as f:
+          data = f.read()
+        zstandard.ZstdDecompressor().decompress(data, max_output_size=1 << 31)
+      except Exception:
+        _log(f"# purging corrupt cache entry {name}")
+        try:
+          os.unlink(path)
+        except OSError:
+          pass
+  if os.path.isdir(WARM_CACHE_DIR):
+    for name in os.listdir(WARM_CACHE_DIR):
+      dst = os.path.join(CACHE_DIR, name)
+      if not os.path.exists(dst):
+        shutil.copyfile(os.path.join(WARM_CACHE_DIR, name), dst)
+
+
+def save_warm_cache():
+  """Mirror current .jax_cache entries into the committed warm-cache dir."""
+  os.makedirs(WARM_CACHE_DIR, exist_ok=True)
+  for name in os.listdir(CACHE_DIR):
+    dst = os.path.join(WARM_CACHE_DIR, name)
+    if not os.path.exists(dst):
+      shutil.copyfile(os.path.join(CACHE_DIR, name), dst)
+
+
+# ---------------------------------------------------------------------------
+# Shared fixture helpers.
+# ---------------------------------------------------------------------------
 
 
 def make_embeddings(n, d=256, k=2, seed=0):
@@ -70,8 +140,22 @@ def reference_labels(n):
     return z[key] if key in z.files else None
 
 
-def bench_once(n, repeats=3, solver=None, staged=False):
+# ---------------------------------------------------------------------------
+# Leg mode: measure one (solver, N) in this process, print one JSON line.
+# ---------------------------------------------------------------------------
+
+
+def run_leg(n, solver, repeats=3):
+  import jax
+  import jax.numpy as jnp
+
+  jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
+  jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+  from spectralcluster_tpu import configs, pipeline, utils
+  from spectralcluster_tpu.precision import precise
   from spectralcluster_tpu.types import EigenSolver
+
   cfg = pipeline.PipelineConfig(
       refinement_options=configs.icassp2018_refinement_options(),
       min_clusters=2, max_clusters=7, custom_dist="cosine", max_iter=300,
@@ -80,16 +164,19 @@ def bench_once(n, repeats=3, solver=None, staged=False):
   x = jnp.asarray(make_embeddings(n))
   key = jax.random.PRNGKey(0)
 
-  if staged:
-    # Eigh-split staged executor: three smaller programs instead of one
-    # monolith — the monolithic full-eigh program at N>=8192 exceeds this
-    # environment's remote-compile memory budget (SIGKILL); the split
-    # compiles. Same algorithm, same parity check.
+  # The staged executor splits the pipeline at the eig boundary into three
+  # small programs: mandatory at N>=8192, where one monolithic program
+  # either OOMs the remote compile helper (full eigh) or cold-compiles for
+  # minutes (SubspaceIteration; 461 s in the round-2 record run).
+  staged = n >= 8192 or os.environ.get("SCT_BENCH_STAGED") == "1"
+  if staged and pipeline._staged_applicable(cfg, False):
     def fn(emb):
       labels, n_clusters, _, _ = pipeline.spectral_cluster_fixed_k_staged(
           emb, key, cfg)
       return labels, n_clusters
   else:
+    staged = False
+
     @precise
     def run(emb):
       labels, n_clusters, _, _ = pipeline.spectral_cluster_fixed_k(
@@ -97,6 +184,7 @@ def bench_once(n, repeats=3, solver=None, staged=False):
       return labels, n_clusters
 
     fn = jax.jit(run)
+
   t0 = time.time()
   # device_get (not block_until_ready): on remote/tunneled backends only a
   # result fetch reliably waits for the full device execution.
@@ -113,70 +201,143 @@ def bench_once(n, repeats=3, solver=None, staged=False):
   if ref is not None:
     parity = bool(np.array_equal(utils.enforce_ordered_labels(labels),
                                  np.asarray(ref, np.int64)))
-  return float(np.median(times)), compile_s, int(n_clusters), parity
+  return {
+      "latency_s": round(float(np.median(times)), 4),
+      "compile_s": round(compile_s, 1),
+      "n_clusters": int(n_clusters),
+      "parity": parity,
+      "staged": staged,
+      "backend": jax.default_backend(),
+  }
+
+
+def leg_main():
+  n = int(os.environ["SCT_LEG_N"])
+  solver = os.environ.get("SCT_LEG_SOLVER") or None
+  out = run_leg(n, solver)
+  print(json.dumps(out), flush=True)
+
+
+# ---------------------------------------------------------------------------
+# Orchestrator mode: schedule legs under the deadline, print THE JSON line.
+# ---------------------------------------------------------------------------
+
+
+def _remaining(deadline_s):
+  return deadline_s - (time.time() - _START) - _RESERVE_S
+
+
+def run_leg_subprocess(n, solver, timeout_s):
+  env = dict(os.environ)
+  env["SCT_BENCH_LEG"] = "1"
+  env["SCT_LEG_N"] = str(n)
+  env["SCT_LEG_SOLVER"] = solver or ""
+  try:
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, capture_output=True, text=True, timeout=timeout_s)
+  except subprocess.TimeoutExpired:
+    return None, f"timeout after {timeout_s:.0f}s"
+  sys.stderr.write(proc.stderr)
+  sys.stderr.flush()
+  if proc.returncode != 0:
+    tail = (proc.stderr or "").strip().splitlines()[-1:] or ["?"]
+    return None, f"rc={proc.returncode}: {tail[0][:160]}"
+  for line in reversed(proc.stdout.strip().splitlines()):
+    line = line.strip()
+    if line.startswith("{"):
+      try:
+        return json.loads(line), None
+      except json.JSONDecodeError:
+        continue
+  return None, "no JSON line in leg output"
 
 
 def main():
+  if os.environ.get("SCT_BENCH_LEG") == "1":
+    leg_main()
+    return
+
+  deadline_s = float(os.environ.get("SCT_BENCH_DEADLINE_S", 500))
+  heal_compile_cache()
+
   with open(BASELINE_PATH) as f:
     baseline = json.load(f)["results"]
   sizes = sorted(int(k) for k in baseline)
-  n = int(os.environ.get("SCT_BENCH_N", 10240))
-  if n not in sizes:
-    n = sizes[-1]
-  base_s = baseline[str(n)]["predict_s"]
+  n_target = int(os.environ.get("SCT_BENCH_N", 10240))
+  if n_target not in sizes:
+    n_target = sizes[-1]
+  # Headline N-ladder: the target size first, then smaller sizes that
+  # cold-compile in well under a minute — a degraded measured record beats
+  # an empty one.
+  ladder = [n_target] + [n for n in (4096, 2048, 1024) if n < n_target]
 
   only = os.environ.get("SCT_BENCH_SOLVER")
   if only is not None:
     solvers = [only or None]             # SCT_BENCH_SOLVER= -> full eigh
   else:
-    solvers = ["SubspaceIteration", None]  # both, subspace is the headline
+    solvers = ["SubspaceIteration", None]  # both; subspace is the headline
 
   extras = {}
   headline = None
-  for solver in solvers:
+  headline_n = None
+  for i, solver in enumerate(solvers):
     tag = solver or "full_eigh"
-    # The monolithic full-eigh program at N>=8192 reliably OOMs this
-    # environment's remote compile helper; the staged (eigh-split) executor
-    # runs the same algorithm as three smaller programs.
-    staged = (solver is None and
-              (n >= 8192 or os.environ.get("SCT_BENCH_STAGED") == "1"))
-    try:
-      latency, compile_s, n_clusters, parity = bench_once(
-          n, solver=solver, staged=staged)
-    except Exception as e:  # pragma: no cover - memory/compile limits
-      print(f"# {tag} at N={n} failed: {e}", file=sys.stderr)
-      extras[tag] = {"error": str(e)[:200]}
-      continue
-    speedup = base_s / latency
-    entry = {"speedup": round(speedup, 2), "latency_s": round(latency, 4),
-             "compile_s": round(compile_s, 1), "n_clusters": n_clusters,
-             "parity": parity}
-    if staged:
-      entry["staged"] = True
-    extras[tag] = entry
-    print(f"# {tag}: N={n} ours={latency:.3f}s numpy={base_s:.3f}s "
-          f"compile={compile_s:.1f}s n_clusters={n_clusters} parity={parity}",
-          file=sys.stderr)
-    if headline is None:
-      headline = (tag, entry)
+    is_headline = headline is None
+    # The headline walks the N-ladder until something is measured; the
+    # secondary legs run at the headline's achieved N only.
+    for n in (ladder if is_headline else [headline_n]):
+      budget = _remaining(deadline_s)
+      # Keep enough budget for at least one more (possibly degraded) attempt
+      # while the headline is unresolved.
+      cap = budget - _MIN_LEG_S if (is_headline and n == ladder[0]
+                                    and len(ladder) > 1) else budget
+      if cap < _MIN_LEG_S:
+        extras.setdefault(tag, {})["skipped"] = (
+            f"insufficient budget ({budget:.0f}s left) for N={n}")
+        _log(f"# {tag}: skipping N={n}, {budget:.0f}s budget left")
+        break
+      _log(f"# {tag}: N={n} (budget {cap:.0f}s)")
+      entry, err = run_leg_subprocess(n, solver, cap)
+      if entry is None:
+        extras.setdefault(tag, {})[f"N{n}"] = f"failed: {err}"
+        _log(f"# {tag}: N={n} failed: {err}")
+        continue
+      base_s = baseline[str(n)]["predict_s"]
+      entry["speedup"] = round(base_s / entry["latency_s"], 2)
+      entry["n"] = n
+      if n != n_target:
+        entry["degraded"] = f"target N={n_target} did not fit the budget"
+      extras[tag] = entry
+      _log(f"# {tag}: N={n} ours={entry['latency_s']:.3f}s "
+           f"numpy={base_s:.3f}s compile={entry['compile_s']:.1f}s "
+           f"n_clusters={entry['n_clusters']} parity={entry['parity']}")
+      if is_headline:
+        headline = (tag, entry)
+        headline_n = n
+      break
 
   if headline is None:
-    print(json.dumps({"metric": f"icassp2018_e2e_speedup_vs_numpy_N{n}",
+    print(json.dumps({"metric": f"icassp2018_e2e_speedup_vs_numpy_N{n_target}",
                       "value": 0.0, "unit": "x", "vs_baseline": 0.0,
-                      "error": "all solvers failed"}))
+                      "error": "all solver legs failed", "solvers": extras}),
+          flush=True)
     sys.exit(1)
 
   tag, entry = headline
   meta = {
-      "metric": f"icassp2018_e2e_speedup_vs_numpy_N{n}_{tag}",
+      "metric": f"icassp2018_e2e_speedup_vs_numpy_N{headline_n}_{tag}",
       "value": entry["speedup"],
       "unit": "x",
       "vs_baseline": entry["speedup"],
       "parity": entry["parity"],
-      "backend": jax.default_backend(),
+      "backend": entry.get("backend"),
+      "wall_s": round(time.time() - _START, 1),
       "solvers": extras,
   }
-  print(json.dumps(meta))
+  print(json.dumps(meta), flush=True)
+  if os.environ.get("SCT_BENCH_SAVE_WARM") == "1":
+    save_warm_cache()
 
 
 if __name__ == "__main__":

@@ -406,7 +406,7 @@ class SpectralClusterer:
       seq = self.refinement_options.refinement_sequence or ()
       if RefinementName.RowWiseThreshold not in seq:
         raise ValueError(
-            "AutoTune is only effective when the refinement sequence"
+            "AutoTune is only effective when the refinement sequence "
             "contains RowWiseThreshold")
       aff_padded, n_valid = self._pad_square(affinity)
       n_valid_j = jnp.asarray(n_valid, jnp.int32)

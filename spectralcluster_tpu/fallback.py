@@ -118,6 +118,14 @@ def naive_predict_scan(embeddings: jnp.ndarray,
   return labels.astype(jnp.int32)
 
 
+# Above this input size the naive fallback runs as the single compiled
+# lax.scan (naive_predict_scan) instead of the Python predict_next loop:
+# one device dispatch versus N host iterations. Below it the host loop is
+# faster (a dispatch costs ~0.1 s on tunneled backends; fallback inputs are
+# usually < spectral_min_embeddings ~ tens of rows).
+_NAIVE_SCAN_MIN_N = 256
+
+
 class FallbackClusterer:
   """Dispatch to AHC (threshold cut) or Naive clustering for tiny inputs."""
 
@@ -139,6 +147,12 @@ class FallbackClusterer:
     clusterer = NaiveClusterer(
         threshold=self.options.naive_threshold,
         adaptation_threshold=self.options.naive_adaptation_threshold)
+    if embeddings.shape[0] >= _NAIVE_SCAN_MIN_N:
+      labels = naive_predict_scan(
+          embeddings,
+          threshold=clusterer.threshold,
+          adaptation_threshold=clusterer.adaptation_threshold)
+      return np.asarray(labels, dtype=np.int64)
     return clusterer.fit_predict(embeddings)
 
   def fit_predict(self, embeddings: np.ndarray) -> np.ndarray:

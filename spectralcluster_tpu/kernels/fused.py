@@ -8,10 +8,13 @@ so each N×N matrix crosses HBM once per fused stage instead of once per op:
   * ``row_max_pallas`` — tiled row-max reduction (optionally excluding the
     diagonal), the reduction feeding CropDiagonal / RowWiseThreshold /
     RowWiseNormalize.
-  * ``threshold_symmetrize_pallas`` — RowWiseThreshold(RowMax) +
-    Symmetrize(Max) in ONE pass: reads the (i,j) and (j,i) tiles, applies the
-    soft threshold to both, writes max of the two — eliminating the separate
-    transpose materialization.
+  * ``threshold_symmetrize_general_pallas`` — RowWiseThreshold + Symmetrize
+    in ONE pass (both threshold and symmetrize types, binarization,
+    preserve_diagonal): reads the (i,j) and (j,i) tiles, applies the soft
+    threshold to both, writes max/average of the two — eliminating the
+    separate transpose materialization.
+  * ``crop_diagonal_pallas`` / ``row_wise_normalize_pallas`` — the remaining
+    bandwidth-bound refinement stages as row_max + apply passes.
 
 Each kernel has a jnp twin in ops/ (the source of truth for semantics);
 tests run the kernels in interpreter mode against the twins. The pipeline
@@ -208,19 +211,6 @@ def threshold_symmetrize_general_pallas(
                              memory_space=pltpu.VMEM),
       interpret=interpret,
   )(mat, mat, thresholds, thresholds)
-
-
-def threshold_symmetrize_pallas(mat: jnp.ndarray,
-                                row_max: jnp.ndarray,
-                                p_percentile: float,
-                                multiplier: float = 0.01,
-                                binarize: bool = False,
-                                interpret: bool = False) -> jnp.ndarray:
-  """max(T(A), T(A)^T) with row-max thresholding (legacy entry point;
-  thin wrapper over threshold_symmetrize_general_pallas)."""
-  return threshold_symmetrize_general_pallas(
-      mat, row_max * p_percentile, multiplier=multiplier, binarize=binarize,
-      preserve_diagonal=False, average=False, interpret=interpret)
 
 
 # ---------------------------------------------------------------------------

@@ -73,6 +73,15 @@ _FAIL_RESIDUAL = 1e-2
 # ones at 0.1+).
 _SPURIOUS_TOL = 3e-3
 
+# Extra eigenpairs requested from the complement block so the merge still has
+# t candidates after overlap dedup removes directions captured by both blocks.
+_MERGE_EXTRA = 4
+
+# |v1 . v2| above which two unit Ritz vectors from the two blocks are the
+# same eigendirection (genuine cross-block pairs are near-orthogonal;
+# duplicated boundary modes overlap at ~1).
+_DEDUP_OVERLAP = 0.9
+
 
 # Accelerated-Newton–Schulz sign schedule: quintic steps with the
 # overshoot-bounded coefficients used by Muon-style orthogonalizers
@@ -150,6 +159,21 @@ def _sign_project_jit(n: int, descend: bool, with_nvalid: bool):
     gersh = jnp.max(jnp.sum(jnp.abs(h), axis=1))
     fro = jnp.linalg.norm(h)
     alpha = jnp.maximum(jnp.minimum(gersh, fro), 1e-30)
+    # Tight ||h||_2 estimate via power iteration (matmul-only, O(N^2) per
+    # step — negligible next to the sign iteration's 31 O(N^3) matmuls).
+    # The Gershgorin/Frobenius bound can overestimate ||.||_2 by up to
+    # sqrt(n) (~100x at N=10240 for flat spectra); residual certificates
+    # scaled by it would then pass ~0.1-relative spurious pairs. Power
+    # iteration converges from below; 1.05x safety, capped by the bound.
+    pv = jax.random.normal(jax.random.PRNGKey(3), (n, 1), h.dtype)
+    pv = jnp.where(valid[:, None], pv, 0.0)
+    pv = pv / jnp.maximum(jnp.linalg.norm(pv), 1e-30)
+    for _ in range(12):
+      pv = jnp.matmul(h, pv, preferred_element_type=jnp.float32)
+      pv = pv / jnp.maximum(jnp.linalg.norm(pv), 1e-30)
+    norm_lo = jnp.linalg.norm(
+        jnp.matmul(h, pv, preferred_element_type=jnp.float32))
+    norm2 = jnp.minimum(1.05 * norm_lo, alpha)
     x0 = h / alpha
     # Padded coordinates: pin to the sign value of the DISCARDED side so the
     # kept-side projector excludes them (f(+-1) = +-1 is a fixed point of
@@ -168,7 +192,7 @@ def _sign_project_jit(n: int, descend: bool, with_nvalid: bool):
     # them: rank(P) can exceed round(trace(P)) by up to ~2x this mass.
     ufro2 = jnp.sum(jnp.where(keep, u * u, 0.0))
     b_f = jnp.maximum(nv - ufro2, 0.0) / 4.0
-    return p, k_f, b_f, sigma, alpha
+    return p, k_f, b_f, sigma, alpha, norm2
 
   if with_nvalid:
     return precise_jit(run)
@@ -218,21 +242,39 @@ def _project_block_jit(n: int, k_pad: int, descend: bool):
   """Stage 2: invariant-subspace basis + the projected (k, k) Ritz block.
 
   Subspace iteration ON THE PROJECTOR (q <- orth(P q), _PROJECT_ITERS steps):
-  because P is a function of m, P's eigenvectors are m's eigenvectors, so the
-  iteration drives every column toward an exact m-eigendirection — columns
-  converge to either range(P) members (||P q_i|| -> 1), boundary modes
-  (-> p_i < 1), or junk noise (-> ~0). Dropping columns with ||P q_i||^2 <=
-  1/2 then removes exactly the non-range content; any residual cross-mode
-  mixing is confined to eigenvalues within the sign fuzz band of each other,
-  bounding the Ritz error by the band width O(l0 * ||m||). The kept span
-  always contains the full converged range(P) (the requested width k exceeds
-  the number of nonzero projector eigenvalues by the boundary margin), so no
-  genuine direction is partially captured — partial capture, not junk, is
-  what contaminates Ritz values.
+  because P is a function of m, the iteration drives the SPAN of q onto the
+  invariant subspace of m associated with range(P) — plus whatever boundary
+  modes (projector eigenvalue 0 < p < 1, from sign-iteration non-convergence
+  at the split point) and orthogonalization-resurrected junk directions the
+  oversampled width k admits. The span is what matters: Rayleigh–Ritz (eigh
+  of q^T m q over the FULL basis) separates individual eigendirections
+  exactly within the span, so every captured direction yields an accurate
+  Ritz pair, junk directions yield either genuine deeper eigenpairs (sorted
+  out of the scan window) or large-residual pairs (pushed past the scan end
+  by the downstream residual filter), and zeroed pad columns yield
+  zero-norm back-transforms (excluded by the vnorm filter).
 
-  Kept columns are compacted to the front (suffix semantics for the padding
-  sentinels and the recursion's n_valid masking); the returned k_eff counts
-  them.
+  Earlier revisions filtered columns by s2 = ||P q_i||^2 > 1/2 before the
+  Ritz step. That per-COLUMN test is unsound for the per-SPAN guarantee this
+  stage needs: a column mixing a range direction (p=1) with a boundary mode
+  (p~0.5) separates at only ~p_bnd per iteration, so after _PROJECT_ITERS
+  steps a dropped column can still carry an O(30%) component of a genuine
+  direction — measured partial capture that contaminated the kept block's
+  Ritz values far beyond the sign-fuzz band (and, per ADVICE r2, a boundary
+  mode with p in (0.3, 0.7) failed the filter in BOTH the kept and
+  complement bases and vanished entirely). Duplicate captures across the two
+  blocks are instead removed at merge time by the eigenvector-overlap dedup
+  in _merge_dedup_jit.
+
+  One column class IS dropped: when the requested width k exceeds the
+  basis's numerical rank, the surplus columns come out of the shifted
+  CholeskyQR at norm ~eps/sqrt(delta) ~ 1e-4 instead of 1 (the shift
+  under-normalizes directions below its floor). Left in place they make a1
+  near-zero rows INSIDE the valid block — spurious zero eigenvalues that
+  flood an ascending scan's bottom-t. The norm test is sound where the s2
+  test was not: a near-zero column carries at most O(1e-4) of ANY direction
+  (measured bimodal: genuine/boundary columns at ~1.0, surplus at <1e-4),
+  so dropping it cannot partially capture anything.
   """
 
   def run(m, p, k, key):
@@ -243,9 +285,7 @@ def _project_block_jit(n: int, k_pad: int, descend: bool):
       q = _cholqr2_shifted(y, k_pad, col_ok)
       y = jnp.matmul(p, q, preferred_element_type=jnp.float32)
     q = _cholqr2_shifted(y, k_pad, col_ok)
-    pq = jnp.matmul(p, q, preferred_element_type=jnp.float32)
-    s2 = jnp.sum(pq * pq, axis=0)
-    keep = s2 > 0.5
+    keep = jnp.linalg.norm(q, axis=0) > 0.5
     k_eff = jnp.sum(keep).astype(jnp.int32)
     # Compact kept columns to the front so padding stays a suffix.
     order = jnp.argsort(jnp.logical_not(keep), stable=True)
@@ -353,17 +393,21 @@ def eigh_topk_dc(
     max_block: int = 8192,
     _depth: int = 0,
     _scale: typing.Optional[float] = None,
-) -> typing.Tuple[jnp.ndarray, jnp.ndarray, float]:
+) -> typing.Tuple[jnp.ndarray, jnp.ndarray, float, float]:
   """Extreme-t eigenpairs of a symmetric m via host-staged spectral D&C.
 
   Host-orchestrated (NOT jittable): block sizes are read back between stages,
   exactly like the eigh-split staged executor this feeds. Returns
-  (eigenvalues (t,), eigenvectors (n, t), worst_residual / ||m||), sorted in
-  the scan direction (descending for ``descend=True``). With ``n_valid``, m
-  must already carry padding sentinels (eigen_ops.apply_padding_sentinels) —
-  as produced by the pipeline prep stage and by this function's own recursion.
+  (eigenvalues (t,), eigenvectors (n, t), worst_residual / ||m||, scale)
+  sorted in the scan direction (descending for ``descend=True``), where
+  ``scale`` is the solver's ||m||_2 estimate (|sigma| + a power-iteration
+  norm of the centered operand) — callers that only see the t extreme
+  eigenvalues need it to reproduce full-spectrum snap/NormalizedDiff
+  semantics (pipeline finish_topk). With ``n_valid``, m must already carry
+  padding sentinels (eigen_ops.apply_padding_sentinels) — as produced by the
+  pipeline prep stage and by this function's own recursion.
 
-  ``_scale`` carries the TOP-LEVEL operand's norm bound through the
+  ``_scale`` carries the TOP-LEVEL operand's norm estimate through the
   recursion: all residual certificates are absolute, O(eps * ||M_original||)
   — the accuracy class a dense eigensolver promises. Raises RuntimeError if
   the certified residual indicates an actual failure.
@@ -373,7 +417,9 @@ def eigh_topk_dc(
 
   if n <= max_block:
     w, u = _dense_topt_jit(n, t, descend)(m)
-    return w, u, 0.0
+    if _scale is None:
+      _scale = float(jax.device_get(jnp.max(jnp.abs(w))))
+    return w, u, 0.0, _scale
 
   with_nvalid = n_valid is not None
   nv = int(n_valid) if with_nvalid else n
@@ -381,18 +427,19 @@ def eigh_topk_dc(
     return _subspace_fallback(m, t, key, descend, n_valid, _scale)
 
   sign_fn = _sign_project_jit(n, descend, with_nvalid)
-  p, k_f, b_f, sigma, alpha = (
+  p, k_f, b_f, sigma, alpha, norm2 = (
       sign_fn(m, n_valid) if with_nvalid else sign_fn(m))
   sigma = float(jax.device_get(sigma))
   alpha = float(jax.device_get(alpha))
+  norm2 = float(jax.device_get(norm2))
   bound = abs(sigma) + alpha
-  scale = _scale if _scale is not None else max(bound, 1e-30)
+  scale = _scale if _scale is not None else max(abs(sigma) + norm2, 1e-30)
   if bound <= 1e-6 * scale:
     # Structurally-zero block (every eigenvalue within float32 noise of 0 at
     # the original scale): any orthonormal vectors are eigenpairs to the
     # promised absolute accuracy.
     w, v = _zero_block_jit(n, t)(jnp.float32(sigma))
-    return w, v, bound / scale
+    return w, v, bound / scale, scale
 
   k_est = int(round(float(jax.device_get(k_f))))
   k_est = max(1, min(k_est, nv - 1))
@@ -412,7 +459,7 @@ def eigh_topk_dc(
     # converges fastest.
     return _subspace_fallback(m, t, key, descend, n_valid, scale)
 
-  key_basis, key_comp, key_rec = jax.random.split(key, 3)
+  key_basis, key_comp, key_rec, key_rec2 = jax.random.split(key, 4)
 
   if k_est >= t + 8:
     # Common case: the kept-side block covers the t requested eigenpairs.
@@ -423,7 +470,7 @@ def eigh_topk_dc(
     w, v, res = _topt_of_block(a1, m, q, mq, t, key_rec, descend, k_eff,
                                k_pad, max_block, _depth, scale)
     _check_residual(res)
-    return w, v, res
+    return w, v, res, scale
 
   # The kept-side block is too small to cover all t requested eigenpairs:
   # solve it fully, then recurse on the spectral complement for the rest.
@@ -437,7 +484,7 @@ def eigh_topk_dc(
   t_rem = t - t1
   if t_rem == 0:
     _check_residual(res1)
-    return wt1, vt1, res1
+    return wt1, vt1, res1, scale
   comp_fn = _complement_jit(n, with_nvalid)
   pc, kc_f = comp_fn(p, n_valid) if with_nvalid else comp_fn(p)
   kc_est = max(t_rem, min(int(round(float(jax.device_get(kc_f)))), nv - 1))
@@ -447,14 +494,19 @@ def eigh_topk_dc(
                                                                kc_cover,
                                                                key_comp)
   kc_eff = int(jax.device_get(kc_eff))
-  w2, v2, res2 = _topt_of_block(a2, m, qc, mqc, t_rem, key_comp, descend,
+  # Request extra pairs so the merge still has t candidates after dedup
+  # removes boundary modes captured by both blocks.
+  t2 = max(t_rem, min(t_rem + _MERGE_EXTRA, kc_eff))
+  w2, v2, res2 = _topt_of_block(a2, m, qc, mqc, t2, key_rec2, descend,
                                 kc_eff, kc_pad, max_block, _depth, scale)
-  # Re-sort the merged pairs: values within the boundary fuzz of sigma can
-  # interleave across the two blocks.
-  wt, vt = _merge_sorted_jit(n, t, descend)(wt1, w2, vt1, v2)
+  # Merge: drop complement pairs duplicating a kept-side eigendirection
+  # (overlapping keep bands can capture a boundary mode in both blocks),
+  # then re-sort — values within the boundary fuzz of sigma can interleave
+  # across the two blocks.
+  wt, vt = _merge_dedup_jit(n, t, t1, t2, descend)(wt1, w2, vt1, v2)
   res = max(res1, res2)
   _check_residual(res)
-  return wt, vt, res
+  return wt, vt, res, scale
 
 
 def _topt_of_block(a1, m, q, mq, t, key, descend, k_use, k_pad, max_block,
@@ -477,9 +529,9 @@ def _topt_of_block(a1, m, q, mq, t, key, descend, k_use, k_pad, max_block,
         w1, u1, q, mq, jnp.float32(scale))
     return wt, vt, float(jax.device_get(res))
   t_pool = min(t + 8, k_use)
-  wp, up, _ = eigh_topk_dc(a1, t_pool, key, descend=descend, n_valid=k_use,
-                           max_block=max_block, _depth=depth + 1,
-                           _scale=scale)
+  wp, up, _, _ = eigh_topk_dc(a1, t_pool, key, descend=descend, n_valid=k_use,
+                              max_block=max_block, _depth=depth + 1,
+                              _scale=scale)
   wt, vt, res = _verify_select_jit(n, k_pad, t_pool, t, descend)(
       m, q, wp, up, jnp.float32(scale))
   return wt, vt, float(jax.device_get(res))
@@ -510,13 +562,31 @@ def _verify_select_jit(n: int, k_pad: int, t_pool: int, t: int,
 
 
 @functools.lru_cache(maxsize=64)
-def _merge_sorted_jit(n: int, t: int, descend: bool):
+def _merge_dedup_jit(n: int, t: int, t1: int, t2: int, descend: bool):
+  """Merge kept-side and complement Ritz pairs into the t extreme ones.
+
+  The overlapping keep bands (see _project_block_jit) can capture a boundary
+  eigendirection in BOTH blocks; both copies are genuine eigenpairs of the
+  same direction, so keeping both would displace the t-th distinct pair.
+  A complement pair whose unit eigenvector overlaps any kept-side
+  eigenvector by > _DEDUP_OVERLAP is pushed past the scan end before the
+  top-t selection.
+  """
 
   def run(w1, w2, v1, v2):
-    w = jnp.concatenate([w1, w2])
+    overlap = jnp.abs(
+        jnp.matmul(v1.T, v2, preferred_element_type=jnp.float32))
+    dup2 = jnp.max(overlap, axis=0) > _DEDUP_OVERLAP
+    big = 10.0 * jnp.maximum(jnp.max(jnp.abs(w1)), jnp.max(jnp.abs(w2))) + 1.0
+    w2s = jnp.where(dup2, -big if descend else big, w2)
+    w = jnp.concatenate([w1, w2s])
     v = jnp.concatenate([v1, v2], axis=1)
-    order = jnp.argsort(-w if descend else w, stable=True)
-    return w[order], v[:, order]
+    order = jnp.argsort(-w if descend else w, stable=True)[:t]
+    # Report the true eigenvalues (w2, not the sentinel-displaced w2s) for
+    # any non-duplicate that survived; duplicates never land in the top t
+    # because t1 + t2 - #dups >= t by the _MERGE_EXTRA margin.
+    w_true = jnp.concatenate([w1, w2])
+    return w_true[order], v[:, order]
 
   return precise_jit(run)
 
@@ -561,9 +631,10 @@ def _subspace_fallback(m, t, key, descend, n_valid, scale=None):
   fn = _subspace_jit(n, t, descend, with_nvalid)
   w, v, res_abs, b = fn(m, n_valid, key) if with_nvalid else fn(m, key)
   res_abs, b = float(jax.device_get(res_abs)), float(jax.device_get(b))
-  res = res_abs / (scale if scale is not None else max(b, 1e-30))
+  scale = scale if scale is not None else max(b, 1e-30)
+  res = res_abs / scale
   _check_residual(res)
-  return w, v, res
+  return w, v, res, scale
 
 
 def _check_residual(res: float) -> None:

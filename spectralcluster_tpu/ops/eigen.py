@@ -104,7 +104,8 @@ def sorted_eig_general_host(
 
 
 def snap_small_eigenvalues(w: jnp.ndarray, n_valid=None,
-                           tol: float = 1e-5) -> jnp.ndarray:
+                           tol: float = 1e-5,
+                           wmax=None) -> jnp.ndarray:
   """Snap eigenvalues below solver noise to exact zero.
 
   The reference computes in float64 where a structurally-zero eigenvalue comes
@@ -114,12 +115,20 @@ def snap_small_eigenvalues(w: jnp.ndarray, n_valid=None,
   tol·max|w| to 0 restores the exact-arithmetic semantics (the +eps guard then
   reproduces the huge ratio). ``n_valid`` keeps padded sentinel eigenvalues
   out of the max and untouched.
+
+  ``wmax`` (traced scalar) overrides the in-array max|w|: top-k solvers hand
+  back only the t EXTREME eigenvalues, and on the ascending (Laplacian) path
+  those are the smallest — max|w| over them can sit orders of magnitude
+  below the full spectrum's, reviving the sign-flip hazard the snap exists
+  to prevent. Pass the solver's spectral-norm estimate instead
+  (ops/dc.py eigh_topk_dc returns it).
   """
   if n_valid is None:
     valid = jnp.ones(w.shape, dtype=bool)
   else:
     valid = jnp.arange(w.shape[0]) < n_valid
-  wmax = jnp.max(jnp.where(valid, jnp.abs(w), 0.0))
+  if wmax is None:
+    wmax = jnp.max(jnp.where(valid, jnp.abs(w), 0.0))
   snap = valid & (jnp.abs(w) < tol * wmax)
   return jnp.where(snap, 0.0, w)
 
@@ -136,7 +145,8 @@ def compute_number_of_clusters(
     eigengap_type: EigenGapType = EigenGapType.Ratio,
     descend: bool = True,
     eps: float = EPS,
-    n_valid=None) -> typing.Tuple[jnp.ndarray, jnp.ndarray]:
+    n_valid=None,
+    wmax=None) -> typing.Tuple[jnp.ndarray, jnp.ndarray]:
   """Masked, jit-compatible eigengap scan.
 
   Semantics match the reference loop exactly:
@@ -149,7 +159,10 @@ def compute_number_of_clusters(
       Laplacian is ~0 so i starts at 1).
 
   ``n_valid`` (traced) restricts the scan and the NormalizedDiff max to the
-  first n_valid eigenvalues of a padded problem.
+  first n_valid eigenvalues of a padded problem. ``wmax`` (traced scalar)
+  overrides the NormalizedDiff denominator max(w) — required when
+  ``eigenvalues`` holds only the t extreme values of an ascending scan (see
+  snap_small_eigenvalues).
 
   Returns traced (n_clusters:int32, max_delta:float) — callers needing a
   Python int do one scalar device sync.
@@ -179,7 +192,8 @@ def compute_number_of_clusters(
     if eigengap_type == EigenGapType.Ratio:
       delta = lead / (lag + eps)
     else:
-      wmax = jnp.max(jnp.where(idx < n_valid_arr, eigenvalues, -jnp.inf))
+      if wmax is None:
+        wmax = jnp.max(jnp.where(idx < n_valid_arr, eigenvalues, -jnp.inf))
       delta = (lead - lag) / wmax
     masked = jnp.where(alive & in_range, delta, -jnp.inf)
     best = jnp.max(masked)
@@ -196,7 +210,8 @@ def compute_number_of_clusters(
     if eigengap_type == EigenGapType.Ratio:
       delta = nxt / (cur + eps)
     else:
-      wmax = jnp.max(jnp.where(idx < n_valid_arr, eigenvalues, -jnp.inf))
+      if wmax is None:
+        wmax = jnp.max(jnp.where(idx < n_valid_arr, eigenvalues, -jnp.inf))
       delta = (nxt - cur) / wmax
     masked = jnp.where(in_range, delta, -jnp.inf)
     best = jnp.max(masked)

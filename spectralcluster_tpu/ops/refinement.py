@@ -241,6 +241,15 @@ def apply_refinement_sequence(
           mat, n_valid=n_valid), n_valid)
       i += 1
       continue
+    if pallas_ok and name == RefinementName.RowWiseNormalize:
+      # Reachable on the GENERAL-structure path only (symmetric pipelines
+      # absorb the trailing row normalization into the eigh similarity
+      # transform, see _symmetric_eig_operand); e.g. a user-injected
+      # asymmetric affinity with the icassp2018 sequence.
+      mat = mask_padding(fused_kernels.row_wise_normalize_pallas(
+          mat, n_valid=n_valid), n_valid)
+      i += 1
+      continue
     mat = apply_refinement_op(mat, name, options, p_percentile, n_valid)
     i += 1
   return mat

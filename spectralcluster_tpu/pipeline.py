@@ -150,6 +150,13 @@ class PipelineConfig:
   # bounds each stage to ~6 (N, N) buffers while keeping dense-eigensolver
   # accuracy (certified by per-pair residuals). Requires max_clusters (it
   # computes the max_clusters+1 extreme eigenpairs the eigengap reads).
+  # NOTE: past this threshold ClusterResult.eigenvalues shrinks from n
+  # entries to the max_clusters+1 extreme ones (the only values the eigengap
+  # scan reads). The default sits below the measured runtime HBM wall
+  # (~N=10240 on a 16 GB chip) because this environment's *compiler* memory
+  # budget is exhausted first: a single eigh program at N >= 8192 OOMs the
+  # remote compile helper. Raise it on toolchains without that constraint to
+  # keep the exact single-program eigh up to ~10k.
   dc_max_block: int = 8192
   # In-graph auto-tune (level-1 candidate sweep) for the fully-jitted paths;
   # the host-orchestrated SpectralClusterer uses autotune.AutoTune instead.
@@ -421,7 +428,7 @@ def _spectral_cluster_fixed_k(embeddings, key, cfg, constraint_matrix=None,
     seq = cfg.refinement_options.refinement_sequence or ()
     if RefinementName.RowWiseThreshold not in seq:
       raise ValueError(
-          "AutoTune is only effective when the refinement sequence"
+          "AutoTune is only effective when the refinement sequence "
           "contains RowWiseThreshold")
     ps = jnp.asarray(cfg.autotune.candidates(), jnp.float32)
 
@@ -488,6 +495,13 @@ def _monolithic_jit(cfg: PipelineConfig):
 
 
 def _staged_applicable(cfg: PipelineConfig, with_constraint: bool) -> bool:
+  if cfg.eigensolver == EigenSolver.SubspaceIteration:
+    # Staged subspace needs max_clusters (the static top-k) — same
+    # requirement the monolithic path enforces.
+    if cfg.max_clusters is None:
+      return False
+    return (cfg.autotune is None
+            and _eig_structure(cfg, with_constraint) != refinement_ops.GENERAL)
   return (cfg.autotune is None
           and cfg.eigensolver in (EigenSolver.Auto, EigenSolver.Eigh)
           and _eig_structure(cfg, with_constraint) != refinement_ops.GENERAL)
@@ -529,19 +543,27 @@ def _staged_jits(cfg: PipelineConfig, with_constraint: bool,
                                               n_valid, 0.001)
       return labels, n_clusters, eigenvalues, max_delta
 
-  def finish_topk(w, u, scale, key, n_valid):
+  def finish_topk(w, u, scale, key, wscale, n_valid):
     """Finish from t extreme eigenpairs (already in scan order) — the
     spectral-D&C analog of the monolithic SubspaceIteration handling: all
-    returned eigenvalues are valid, so the gap scan runs unmasked."""
+    returned eigenvalues are valid, so the gap scan runs unmasked.
+
+    ``wscale`` is the solver's spectral-norm estimate of the eig operand:
+    with only the t extreme eigenvalues in hand (the SMALLEST ones on the
+    ascending Laplacian path), max|w| over them can sit orders of magnitude
+    below the full spectrum's, which would shrink the snap threshold (and
+    the NormalizedDiff denominator) far below the full-eigh path's —
+    reviving the float32 sign-flip hazard snapping exists to prevent."""
     with jax.default_matmul_precision(cfg.matmul_precision):
       eigenvectors = eigen_ops.recover_similarity_eigenvectors(
           u, scale, n_valid)
       eigenvalues = eigen_ops.snap_small_eigenvalues(
-          w, n_valid=None, tol=cfg.eigenvalue_snap_tol)
+          w, n_valid=None, tol=cfg.eigenvalue_snap_tol, wmax=wscale)
       n_gap, max_delta = eigen_ops.compute_number_of_clusters(
           eigenvalues, max_clusters=cfg.max_clusters,
           stop_eigenvalue=cfg.stop_eigenvalue,
-          eigengap_type=cfg.eigengap_type, descend=descend, n_valid=None)
+          eigengap_type=cfg.eigengap_type, descend=descend, n_valid=None,
+          wmax=wscale)
       labels, n_clusters = _cluster_from_eigs(eigenvectors, n_gap, cfg, key,
                                               n_valid, 0.001)
       return labels, n_clusters, eigenvalues, max_delta
@@ -558,12 +580,45 @@ def _staged_jits(cfg: PipelineConfig, with_constraint: bool,
   if with_nvalid:
     finish_jit = precise_jit(lambda w, u, s, k, nv: finish(w, u, s, k, nv))
     finish_topk_jit = precise_jit(
-        lambda w, u, s, k, nv: finish_topk(w, u, s, k, nv))
+        lambda w, u, s, k, ws, nv: finish_topk(w, u, s, k, ws, nv))
   else:
     finish_jit = precise_jit(lambda w, u, s, k: finish(w, u, s, k, None))
     finish_topk_jit = precise_jit(
-        lambda w, u, s, k: finish_topk(w, u, s, k, None))
+        lambda w, u, s, k, ws: finish_topk(w, u, s, k, ws, None))
   return prep_jit, eigh_jit, finish_jit, finish_topk_jit
+
+
+@functools.lru_cache(maxsize=32)
+def _staged_subspace_eig_jit(cfg: PipelineConfig, with_nvalid: bool):
+  """Middle stage for EigenSolver.SubspaceIteration under the staged
+  executor: top-k randomized subspace iteration on the prepared symmetric
+  operand, plus the (sentinel-masked) Gershgorin spectral-norm bound
+  finish_topk needs as the full-spectrum snap/NormalizedDiff scale.
+  Eigenvalues come back already in scan order (largest-first for descending
+  scans), like the monolithic eig_dispatch (see _refine_and_eigendecompose).
+  """
+  from spectralcluster_tpu.precision import precise_jit
+
+  descend = _descend(cfg)
+
+  def run(m, key, n_valid):
+    with jax.default_matmul_precision(cfg.matmul_precision):
+      k = cfg.max_clusters + 1
+      w, u = eigen_ops.topk_eigh_subspace(
+          m, k, key, num_iters=cfg.subspace_iters, largest=descend,
+          residual_tol=cfg.subspace_residual_tol,
+          max_iters=cfg.subspace_max_iters)
+      if n_valid is None:
+        bound = jnp.max(jnp.sum(jnp.abs(m), axis=1))
+      else:
+        valid = jnp.arange(m.shape[0]) < n_valid
+        keep = valid[:, None] & valid[None, :]
+        bound = jnp.max(jnp.sum(jnp.where(keep, jnp.abs(m), 0.0), axis=1))
+      return w, u, bound
+
+  if with_nvalid:
+    return precise_jit(run)
+  return precise_jit(lambda m, key: run(m, key, None))
 
 
 def spectral_cluster_fixed_k_staged(
@@ -586,8 +641,10 @@ def spectral_cluster_fixed_k_staged(
   cluster counts identical on all test fixtures — tests/test_staged.py).
 
   Host-level function (not jittable). Requires a symmetric/diagonal-similar
-  structure and a full-eigh solver; falls back to the monolithic jit
-  otherwise (general-eig, SubspaceIteration, in-graph autotune).
+  structure; supports the full-eigh solvers (Auto/Eigh, with the spectral-D&C
+  top-k solver past dc_max_block) and SubspaceIteration (top-k middle
+  program). Falls back to the monolithic jit otherwise (general-eig,
+  in-graph autotune).
   """
   with_constraint = constraint_matrix is not None
   if not _staged_applicable(cfg, with_constraint):
@@ -604,6 +661,17 @@ def spectral_cluster_fixed_k_staged(
     args.append(n_valid)
   m, scale = prep_jit(*args)
   n_pad = m.shape[0]
+  if cfg.eigensolver == EigenSolver.SubspaceIteration:
+    # Top-k subspace iteration as the middle program: same algorithm and
+    # PRNG stream as the monolithic eig_dispatch, but the compile burden is
+    # split into three small independently-cached programs (the N=10240
+    # monolith cold-compiles for minutes through remote-compile tunnels;
+    # prep/finish here are shared with the spectral-D&C path).
+    sub_jit = _staged_subspace_eig_jit(cfg, with_nvalid)
+    sub_args = [m, jax.random.PRNGKey(42)] + ([n_valid] if with_nvalid else [])
+    w, u, bound = sub_jit(*sub_args)
+    tail = [w, u, scale, key, bound] + ([n_valid] if with_nvalid else [])
+    return finish_topk_jit(*tail)
   if (n_pad > cfg.dc_max_block and cfg.max_clusters is not None
       and cfg.eigensolver == EigenSolver.Auto):
     # Past the single-program eigh's HBM wall: host-staged spectral
@@ -611,12 +679,13 @@ def spectral_cluster_fixed_k_staged(
     # only ones the eigengap scan reads (reference utils.py:74-130) — with
     # dense-eigensolver accuracy, residual-certified (ops/dc.py).
     from spectralcluster_tpu.ops import dc as dc_ops
-    w, u, _ = dc_ops.eigh_topk_dc(
+    w, u, _, wscale = dc_ops.eigh_topk_dc(
         m, cfg.max_clusters + 1, jax.random.PRNGKey(17),
         descend=_descend(cfg),
         n_valid=int(n_valid) if with_nvalid else None,
         max_block=cfg.dc_max_block)
-    tail = [w, u, scale, key] + ([n_valid] if with_nvalid else [])
+    tail = [w, u, scale, key, jnp.float32(wscale)] + (
+        [n_valid] if with_nvalid else [])
     return finish_topk_jit(*tail)
   w, u = eigh_jit(m)
   tail = [w, u, scale, key] + ([n_valid] if with_nvalid else [])

@@ -34,8 +34,9 @@ def _check(A, t=8, descend=True, max_block=128, n_valid=None,
   A32 = jnp.asarray(A.astype(np.float32))
   if n_valid is not None:
     A32 = eigen_ops.apply_padding_sentinels(A32, n_valid, descend)
-  w, v, res = dc.eigh_topk_dc(A32, t, jax.random.PRNGKey(0), descend=descend,
-                              n_valid=n_valid, max_block=max_block)
+  w, v, res, scale_est = dc.eigh_topk_dc(
+      A32, t, jax.random.PRNGKey(0), descend=descend,
+      n_valid=n_valid, max_block=max_block)
   w, v = np.asarray(w), np.asarray(v)
   nv = n_valid if n_valid is not None else A.shape[0]
   ref = np.linalg.eigh(A[:nv, :nv].astype(np.float64))[0]
@@ -48,6 +49,11 @@ def _check(A, t=8, descend=True, max_block=128, n_valid=None,
   # returned eigenvectors are orthonormal over the valid rows
   g = v[:nv].T @ v[:nv]
   np.testing.assert_allclose(g, np.eye(t), atol=5e-3)
+  # the returned spectral-norm estimate is tight (power iteration), not the
+  # up-to-sqrt(n)-loose Gershgorin/Frobenius bound (ADVICE r2: a loose scale
+  # lets spurious Ritz pairs pass the residual certificate).
+  anorm = np.max(np.abs(np.linalg.eigvalsh(A[:nv, :nv].astype(np.float64))))
+  assert 0.3 * anorm <= scale_est <= 3.2 * anorm, (scale_est, anorm)
 
 
 class TestMatrixSign:
@@ -123,6 +129,22 @@ class TestEighTopkDC:
     n = 512
     _check(_make_sym(n, np.linspace(0.1, 50, n)), max_block=64)
 
+  def test_boundary_mode_in_topt(self):
+    # ADVICE r2 (medium): an extreme-t eigenvalue sitting EXACTLY at the
+    # split point sigma (the mean) has projector eigenvalue ~0.5, so its
+    # s2 = p^2 ~ 0.25 fails a 0.5 keep filter in BOTH the kept-side and
+    # complement bases — with non-overlapping bands it was silently dropped
+    # and replaced by the next eigenvalue (~0.06 away here, far above the
+    # 5e-3 absolute tolerance _check enforces). The overlapping complement
+    # band (_COMPLEMENT_KEEP) + merge dedup must recover it.
+    n = 512
+    others = np.concatenate(
+        [[10.0, 9.0, 8.0, 7.0, 6.0, 5.0], np.linspace(-5.2, -5.0, n - 7)])
+    x = others.sum() / (n - 1)   # x == mean([others, x]) exactly
+    assert others.min() < x < -4.9   # ranks 7th of the top-8, at sigma
+    eigs = np.concatenate([others, [x]])
+    _check(_make_sym(n, eigs), t=8)
+
   def test_negative_heavy_descend(self):
     n = 512
     eigs = np.concatenate(
@@ -133,8 +155,8 @@ class TestEighTopkDC:
     # n <= max_block short-circuits to a plain eigh slice.
     n = 128
     a = _make_sym(n, np.linspace(-1, 1, n)).astype(np.float32)
-    w, v, res = dc.eigh_topk_dc(jnp.asarray(a), 8, jax.random.PRNGKey(0),
-                                max_block=256)
+    w, v, res, _ = dc.eigh_topk_dc(jnp.asarray(a), 8, jax.random.PRNGKey(0),
+                                   max_block=256)
     ref = np.linalg.eigh(a.astype(np.float64))[0][::-1][:8]
     np.testing.assert_allclose(np.asarray(w), ref, atol=1e-4)
     assert res == 0.0

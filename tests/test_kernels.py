@@ -68,9 +68,9 @@ class TestThresholdSymmetrizeKernel:
   def test_matches_jnp(self, binarize):
     a = _mat(128, seed=1)
     rmax = fused.row_max_pallas(a, interpret=True)
-    ours = fused.threshold_symmetrize_pallas(
-        a, rmax, p_percentile=0.6, multiplier=0.01, binarize=binarize,
-        interpret=True)
+    ours = fused.threshold_symmetrize_general_pallas(
+        a, rmax * 0.6, multiplier=0.01, binarize=binarize,
+        preserve_diagonal=False, average=False, interpret=True)
     thresholded = ref_ops.row_wise_threshold(
         a, 0.6, 0.01, ThresholdType.RowMax, with_binarization=binarize)
     ref = ref_ops.symmetrize(thresholded, SymmetrizeType.Max)

@@ -98,15 +98,34 @@ class TestStagedExecutor:
     got_m, got_s = _run_both(cfg, _embeddings(), constraint_matrix=cm)
     _assert_same(got_m, got_s)
 
-  def test_fallback_subspace_solver(self):
-    # SubspaceIteration has no eigh stage to split at: the staged entry
-    # must route to the monolithic jit and still agree with it.
+  def test_staged_subspace_solver(self):
+    # SubspaceIteration runs staged as prep -> top-k middle program ->
+    # finish_topk (the N=10240 monolith cold-compiles for minutes through
+    # remote-compile tunnels; the split programs are small and cached
+    # independently). Must agree with the monolithic subspace jit.
     cfg = pipeline.PipelineConfig(
         refinement_options=configs.icassp2018_refinement_options(),
         min_clusters=2, max_clusters=7,
         eigensolver=EigenSolver.SubspaceIteration)
-    assert not pipeline._staged_applicable(cfg, False)
+    assert pipeline._staged_applicable(cfg, False)
     _assert_same(*_run_both(cfg, _embeddings()))
+
+  def test_staged_subspace_padded(self):
+    x = _embeddings(n=90)
+    xp = jnp.concatenate([x, jnp.zeros((38, x.shape[1]), x.dtype)], axis=0)
+    cfg = pipeline.PipelineConfig(
+        refinement_options=configs.icassp2018_refinement_options(),
+        min_clusters=2, max_clusters=7,
+        eigensolver=EigenSolver.SubspaceIteration)
+    got_m, got_s = _run_both(cfg, xp, n_valid=jnp.asarray(90, jnp.int32))
+    np.testing.assert_array_equal(got_m[0], got_s[0])
+    assert int(got_m[1]) == int(got_s[1])
+
+  def test_staged_subspace_requires_max_clusters(self):
+    cfg = pipeline.PipelineConfig(
+        refinement_options=configs.icassp2018_refinement_options(),
+        min_clusters=2, eigensolver=EigenSolver.SubspaceIteration)
+    assert not pipeline._staged_applicable(cfg, False)
 
   def test_clusterer_fast_path_staged_routing(self):
     # With the threshold forced below N, SpectralClusterer.predict's fast
