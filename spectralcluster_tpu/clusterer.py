@@ -73,7 +73,8 @@ class SpectralClusterer:
       post_eigen_cluster_function: typing.Optional[typing.Callable] = None,
       seed: int = 0,
       eigensolver: EigenSolver = EigenSolver.Auto,
-      staged_execution_min_n: typing.Optional[int] = 8192):
+      staged_execution_min_n: typing.Optional[int] = 8192,
+      staged_stage_timings: bool = False):
     self.min_clusters = min_clusters
     self.max_clusters = max_clusters
     self.refinement_options = refinement_options or RefinementOptions()
@@ -97,6 +98,11 @@ class SpectralClusterer:
     # N and can exhaust the compiler long before the runtime working set
     # threatens HBM. None disables staging.
     self.staged_execution_min_n = staged_execution_min_n
+    # When True, ClusterResult.timings additionally carries real (blocking)
+    # per-stage durations of the staged executor (staged_prep / staged_eigh
+    # / staged_dc / staged_subspace / staged_finish) — at the cost of
+    # defeating async-dispatch pipelining; keep False on latency paths.
+    self.staged_stage_timings = staged_stage_timings
 
   # -- compiled-stage plumbing ------------------------------------------------
 
@@ -256,15 +262,18 @@ class SpectralClusterer:
 
   # -- fallback & size-reduction paths ---------------------------------------
 
-  def _reduce_size_and_predict(self, embeddings: np.ndarray) -> np.ndarray:
+  def _reduce_size_and_predict(self, embeddings: np.ndarray) -> ClusterResult:
     """AHC size reduction then recursive spectral clustering
-    (reference spectral_clusterer.py:170-199)."""
+    (reference spectral_clusterer.py:170-199). Returns the inner spectral
+    run's ClusterResult with labels chained through the AHC pre-labels, so
+    eigenvalues/max_delta/best_p observability survives the reduction."""
     ahc_labels = ahc_lib.agglomerative_cluster(
         embeddings, metric="cosine", linkage="complete",
         n_clusters=self.max_spectral_size)
     ahc_centroids = utils.get_cluster_centroids(embeddings, ahc_labels)
-    spectral_labels = self.predict(ahc_centroids)
-    return utils.chain_labels(ahc_labels, spectral_labels)
+    inner = self.predict_with_details(ahc_centroids)
+    inner.labels = utils.chain_labels(ahc_labels, np.asarray(inner.labels))
+    return inner
 
   # -- main entry -------------------------------------------------------------
 
@@ -332,10 +341,14 @@ class SpectralClusterer:
           (self.min_clusters and self.max_spectral_size <= self.min_clusters)):
         raise ValueError("max_spectral_size should be a relatively big number")
       with timings.stage("ahc_reduce"):
-        labels = self._reduce_size_and_predict(embeddings)
-      return ClusterResult(labels=labels,
-                           n_clusters=int(np.unique(labels).size),
-                           timings=timings.as_dict())
+        result = self._reduce_size_and_predict(embeddings)
+      # Surface the inner spectral run's observability fields; fold its
+      # stage timings under the reduction's wall clock.
+      inner_timings = result.timings or {}
+      result.timings = {**{f"inner_{k}": v for k, v in inner_timings.items()},
+                        **timings.as_dict()}
+      result.n_clusters = int(np.unique(result.labels).size)
+      return result
 
     cfg = self._config()
 
@@ -351,7 +364,8 @@ class SpectralClusterer:
         if use_staged:
           out = pipeline_lib.spectral_cluster_fixed_k_staged(
               jnp.asarray(x), jax.random.PRNGKey(self.seed), cfg,
-              n_valid=jnp.asarray(num_embeddings, jnp.int32))
+              n_valid=jnp.asarray(num_embeddings, jnp.int32),
+              timings=(timings if self.staged_stage_timings else None))
         else:
           out = self._fast_fn(cfg)(
               jnp.asarray(x), jnp.asarray(num_embeddings, jnp.int32),

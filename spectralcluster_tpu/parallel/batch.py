@@ -6,6 +6,17 @@ BASELINE.json. Each utterance runs the fully-jitted masked pipeline
 (pipeline.spectral_cluster_fixed_k) under vmap; XLA batches the eigh and
 K-Means across utterances and GSPMD partitions the whole step across
 devices with no hand-written collectives.
+
+``cluster_batch_autotuned`` extends this to MULTI-LEVEL AutoTune: each
+hierarchical search level evaluates every utterance's un-memoized candidate
+grid as ONE sharded batched-eigh dispatch ((B, C) candidates vmapped over
+both axes), the level narrowing runs host-side per utterance with the exact
+reference semantics (autotune.py:76-132 — winner among the level's NEW
+candidates, ±max(2, len//8) narrowing, step halving, memoization), and one
+final batched dispatch runs K-Means on the winning eigenvectors. A
+search_level-L constrained+auto-tuned batch therefore costs L+1 dispatches
+total, versus B × (candidates × L) sequential eigendecompositions in the
+reference.
 """
 
 from __future__ import annotations
@@ -54,6 +65,185 @@ def make_batched_cluster_fn(cfg: pipeline_lib.PipelineConfig, mesh):
     return labels, n_clusters
 
   return jax.jit(step, static_argnames=())
+
+
+@functools.lru_cache(maxsize=16)
+def make_batched_autotune_eval_fn(cfg: pipeline_lib.PipelineConfig, mesh,
+                                  with_constraint: bool):
+  """One AutoTune level for a whole batch: (B, C) candidate p_percentiles
+  through affinity-once + vmapped refine→eigh→gap. Returns
+  (eigenvectors (B, C, N, k_cap), n_clusters (B, C), deltas (B, C))."""
+  k_cap = max(cfg.max_clusters, cfg.min_clusters or 0)
+
+  @precise
+  def step(embeddings, n_valid, ps, constraint_matrices=None):
+    embeddings = jax.lax.with_sharding_constraint(
+        embeddings, mesh_lib.batch_sharding(mesh, 3))
+
+    def one(emb, nv, p_row, cm):
+      affinity = pipeline_lib.prepare_affinity(emb, cfg, cm, nv)
+
+      def cand(p):
+        _, v, n, delta = pipeline_lib.refine_and_eigendecompose(
+            affinity, cfg, p_percentile=p, constraint_matrix=cm, n_valid=nv)
+        return v[:, :k_cap], n, delta
+
+      return jax.vmap(cand)(p_row)
+
+    if constraint_matrices is None:
+      vs, ns, deltas = jax.vmap(
+          lambda e, nv, pr: one(e, nv, pr, None))(embeddings, n_valid, ps)
+    else:
+      constraint_matrices = jax.lax.with_sharding_constraint(
+          constraint_matrices, mesh_lib.batch_sharding(mesh, 3))
+      vs, ns, deltas = jax.vmap(one)(embeddings, n_valid, ps,
+                                     constraint_matrices)
+    return vs, ns, deltas
+
+  return jax.jit(step)
+
+
+@functools.lru_cache(maxsize=16)
+def make_batched_kmeans_fn(cfg: pipeline_lib.PipelineConfig, mesh):
+  """Final AutoTune stage: batched K-Means on the winning eigenvectors."""
+
+  @precise
+  def step(vs, n_gap, n_valid, keys):
+    vs = jax.lax.with_sharding_constraint(
+        vs, mesh_lib.batch_sharding(mesh, 3))
+
+    def one(v, ng, nv, key):
+      return pipeline_lib._cluster_from_eigs(v, ng, cfg, key, nv, 0.001)
+
+    return jax.vmap(one)(vs, n_gap, n_valid, keys)
+
+  return jax.jit(step)
+
+
+def cluster_batch_autotuned(
+    utterances: typing.Sequence[np.ndarray],
+    cfg: pipeline_lib.PipelineConfig,
+    autotune,
+    mesh=None,
+    seed: int = 0,
+    constraint_matrices: typing.Optional[
+        typing.Sequence[np.ndarray]] = None,
+) -> typing.List[np.ndarray]:
+  """Multi-level auto-tuned DP batch clustering (one dispatch per level).
+
+  ``autotune`` is an autotune.AutoTune TEMPLATE: its range/step/level/proxy
+  parameters seed an independent per-utterance hierarchical search (the
+  narrowed level-2+ grids are data-dependent, so each utterance carries its
+  own range state), with the exact reference memoization and narrowing
+  semantics (reference autotune.py:76-132). cfg.autotune must be None (this
+  driver IS the autotune loop); cfg.max_clusters is required.
+  """
+  from spectralcluster_tpu.autotune import MIN_SEARCH_STEP
+
+  if cfg.autotune is not None:
+    raise ValueError("cluster_batch_autotuned drives the search itself; "
+                     "leave cfg.autotune unset")
+  if cfg.max_clusters is None:
+    raise ValueError("cluster_batch_autotuned requires cfg.max_clusters")
+  if mesh is None:
+    mesh = mesh_lib.make_mesh()
+  dp = mesh.shape["batch"]
+  lengths = [u.shape[0] for u in utterances]
+  d = utterances[0].shape[1]
+  n_pad = pipeline_lib.pad_bucket(max(lengths))
+  b = len(utterances)
+  b_pad = -(-b // dp) * dp
+  batch = np.zeros((b_pad, n_pad, d), dtype=np.float32)
+  n_valid = np.ones((b_pad,), dtype=np.int32)
+  for i, u in enumerate(utterances):
+    batch[i, :u.shape[0]] = u
+    n_valid[i] = u.shape[0]
+  with_constraint = constraint_matrices is not None
+  cms = None
+  if with_constraint:
+    if len(constraint_matrices) != b:
+      raise ValueError("need one constraint matrix per utterance")
+    cms = np.zeros((b_pad, n_pad, n_pad), dtype=np.float32)
+    for i, cm in enumerate(constraint_matrices):
+      k = lengths[i]
+      cms[i, :k, :k] = cm
+    cms = jnp.asarray(cms)
+  batch = jnp.asarray(batch)
+  n_valid_j = jnp.asarray(n_valid)
+  eval_fn = make_batched_autotune_eval_fn(cfg, mesh, with_constraint)
+
+  # Per-utterance search state, mirroring autotune.AutoTune.tune_batched.
+  class _State:
+    def __init__(self):
+      self.p_min = autotune.p_percentile_min
+      self.p_max = autotune.p_percentile_max
+      self.step = autotune.init_search_step if hasattr(
+          autotune, "init_search_step") else autotune.search_step
+      self.searched = {}
+      self.best_index = None
+      self.best_p = None
+      self.best_v = None
+      self.best_n = None
+      self.done = False
+
+    def p_range(self):
+      num = int(np.ceil((self.p_max - self.p_min) / self.step))
+      return list(np.linspace(self.p_min, self.p_max, num))
+
+  states = [_State() for _ in range(b_pad)]
+
+  for _ in range(autotune.search_level):
+    ranges = [s.p_range() for s in states]
+    news = [[(i, p) for i, p in enumerate(r) if p not in s.searched]
+            for s, r in zip(states, ranges)]
+    c_max = max((len(nw) for nw in news), default=0)
+    if c_max > 0:
+      ps = np.zeros((b_pad, c_max), dtype=np.float32)
+      for bi, nw in enumerate(news):
+        row = [p for _, p in nw] or [states[bi].best_p or 0.5]
+        ps[bi] = (row + [row[-1]] * c_max)[:c_max]  # pad by repeating last
+      if with_constraint:
+        vs, ns, deltas = eval_fn(batch, n_valid_j, jnp.asarray(ps), cms)
+      else:
+        vs, ns, deltas = eval_fn(batch, n_valid_j, jnp.asarray(ps))
+      vs, ns, deltas = np.asarray(vs), np.asarray(ns), np.asarray(deltas)
+      for bi, (s, nw) in enumerate(zip(states, news)):
+        if not nw:
+          continue
+        cand_ps = np.array([ranges[bi][i] for i, _ in nw])
+        ratios = np.array([
+            autotune.ratio_from_proxy(float(p), float(dl))
+            for p, dl in zip(cand_ps, deltas[bi, :len(nw)])])
+        for p, r in zip(cand_ps, ratios):
+          s.searched[float(p)] = float(r)
+        w = int(np.argmin(ratios))
+        s.best_index = nw[w][0]
+        s.best_p = float(cand_ps[w])
+        s.best_v = vs[bi, w]
+        s.best_n = int(ns[bi, w])
+    # Narrow every utterance's range (reference autotune.py:112-131).
+    for s, r in zip(states, ranges):
+      if s.done or not r or len(r) == 1 or s.step < MIN_SEARCH_STEP:
+        s.done = True
+        continue
+      local = max(2, len(r) // 8)
+      start = max(0, s.best_index - local)
+      end = min(len(r) - 1, s.best_index + local)
+      s.step = s.step / 2
+      s.p_min, s.p_max = r[start], r[end]
+
+  for s in states:
+    if s.best_v is None:
+      raise ValueError("AutoTune search range is empty; check "
+                       "p_percentile_min/max/init_search_step.")
+
+  finish_fn = make_batched_kmeans_fn(cfg, mesh)
+  best_vs = jnp.asarray(np.stack([s.best_v for s in states]))
+  n_gap = jnp.asarray(np.array([s.best_n for s in states], np.int32))
+  keys = jax.vmap(jax.random.PRNGKey)(seed + np.arange(b_pad))
+  labels, _ = finish_fn(best_vs, n_gap, n_valid_j, keys)
+  labels = np.asarray(labels)
+  return [labels[i, :lengths[i]] for i in range(b)]
 
 
 def cluster_batch(

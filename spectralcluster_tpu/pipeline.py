@@ -627,6 +627,7 @@ def spectral_cluster_fixed_k_staged(
     cfg: PipelineConfig,
     constraint_matrix: typing.Optional[jnp.ndarray] = None,
     n_valid=None,
+    timings=None,
 ) -> typing.Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
   """`spectral_cluster_fixed_k` semantics, executed as THREE jit programs
   split at the eigh boundary (prep → eigh → finish).
@@ -645,7 +646,20 @@ def spectral_cluster_fixed_k_staged(
   top-k solver past dc_max_block) and SubspaceIteration (top-k middle
   program). Falls back to the monolithic jit otherwise (general-eig,
   in-graph autotune).
+
+  ``timings``: optional observability.StageTimings. When provided, each
+  stage BLOCKS on its outputs so the recorded per-stage durations are real
+  device times ("staged_prep" / "staged_eigh" / "staged_dc" /
+  "staged_subspace" / "staged_finish"). This defeats the async-dispatch
+  pipelining the executor otherwise enjoys — leave it None on latency paths.
   """
+
+  def _stage(name, fn, *a):
+    if timings is None:
+      return fn(*a)
+    with timings.stage(name):
+      return jax.block_until_ready(fn(*a))
+
   with_constraint = constraint_matrix is not None
   if not _staged_applicable(cfg, with_constraint):
     return _monolithic_jit(cfg)(embeddings, key,
@@ -659,7 +673,7 @@ def spectral_cluster_fixed_k_staged(
     args.append(constraint_matrix)
   if with_nvalid:
     args.append(n_valid)
-  m, scale = prep_jit(*args)
+  m, scale = _stage("staged_prep", prep_jit, *args)
   n_pad = m.shape[0]
   if cfg.eigensolver == EigenSolver.SubspaceIteration:
     # Top-k subspace iteration as the middle program: same algorithm and
@@ -669,9 +683,9 @@ def spectral_cluster_fixed_k_staged(
     # prep/finish here are shared with the spectral-D&C path).
     sub_jit = _staged_subspace_eig_jit(cfg, with_nvalid)
     sub_args = [m, jax.random.PRNGKey(42)] + ([n_valid] if with_nvalid else [])
-    w, u, bound = sub_jit(*sub_args)
+    w, u, bound = _stage("staged_subspace", sub_jit, *sub_args)
     tail = [w, u, scale, key, bound] + ([n_valid] if with_nvalid else [])
-    return finish_topk_jit(*tail)
+    return _stage("staged_finish", finish_topk_jit, *tail)
   if (n_pad > cfg.dc_max_block and cfg.max_clusters is not None
       and cfg.eigensolver == EigenSolver.Auto):
     # Past the single-program eigh's HBM wall: host-staged spectral
@@ -679,14 +693,18 @@ def spectral_cluster_fixed_k_staged(
     # only ones the eigengap scan reads (reference utils.py:74-130) — with
     # dense-eigensolver accuracy, residual-certified (ops/dc.py).
     from spectralcluster_tpu.ops import dc as dc_ops
-    w, u, _, wscale = dc_ops.eigh_topk_dc(
-        m, cfg.max_clusters + 1, jax.random.PRNGKey(17),
-        descend=_descend(cfg),
-        n_valid=int(n_valid) if with_nvalid else None,
-        max_block=cfg.dc_max_block)
+
+    def _dc():
+      return dc_ops.eigh_topk_dc(
+          m, cfg.max_clusters + 1, jax.random.PRNGKey(17),
+          descend=_descend(cfg),
+          n_valid=int(n_valid) if with_nvalid else None,
+          max_block=cfg.dc_max_block)
+
+    w, u, _, wscale = _stage("staged_dc", _dc)
     tail = [w, u, scale, key, jnp.float32(wscale)] + (
         [n_valid] if with_nvalid else [])
-    return finish_topk_jit(*tail)
-  w, u = eigh_jit(m)
+    return _stage("staged_finish", finish_topk_jit, *tail)
+  w, u = _stage("staged_eigh", eigh_jit, m)
   tail = [w, u, scale, key] + ([n_valid] if with_nvalid else [])
-  return finish_jit(*tail)
+  return _stage("staged_finish", finish_jit, *tail)

