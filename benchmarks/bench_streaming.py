@@ -10,12 +10,18 @@ the property that makes 100k-segment recordings feasible
 Usage: python benchmarks/bench_streaming.py [n_steps]
 """
 
+import json
 import sys
 import time
 
 import numpy as np
 
 sys.path.insert(0, "/root/repo")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 from spectralcluster_tpu import configs
 from spectralcluster_tpu.clusterer import SpectralClusterer
@@ -34,7 +40,9 @@ def main(n_steps=1500):
   ms = MultiStageClusterer(main_clusterer=main_clusterer,
                            fallback_threshold=0.5, L=50, U1=100, U2=600)
 
-  checkpoints = [100, 300, 600, 1000, n_steps]
+  checkpoints = sorted({100, 300, 600, 1000, 2000, 3000, 5000, n_steps})
+  checkpoints = [c for c in checkpoints if c <= n_steps]
+  curve = []
   t0 = time.time()
   last_t, last_i = t0, 0
   for i, e in enumerate(stream, 1):
@@ -42,12 +50,18 @@ def main(n_steps=1500):
     if i in checkpoints:
       now = time.time()
       rate = (i - last_i) / (now - last_t)
+      curve.append({"step": i, "steps_per_s": round(rate, 2),
+                    "cache": int(ms.cache.shape[0])})
       print(f"step {i:6d}: {rate:7.2f} steps/s "
             f"(cache={ms.cache.shape[0]})", flush=True)
       last_t, last_i = now, i
   total = time.time() - t0
   print(f"total: {n_steps} steps in {total:.1f}s "
         f"({n_steps / total:.2f} steps/s)")
+  print(json.dumps({"n_steps": n_steps, "total_s": round(total, 1),
+                    "steps_per_s": round(n_steps / total, 2),
+                    "backend": jax.default_backend(), "curve": curve}),
+        flush=True)
 
 
 if __name__ == "__main__":

@@ -184,6 +184,42 @@ class TestShardedLargeN:
         utils.enforce_ordered_labels(labels))
 
 
+class TestSanity:
+  """Distributed sanitizer equivalents (SURVEY.md §5; VERDICT r2 item 28)."""
+
+  def test_replica_consistency_passes_on_replicated(self):
+    from spectralcluster_tpu.parallel import sanity
+    mesh = mesh_lib.make_mesh(dp=4, mp=2)
+    sanity.check_replica_consistency(mesh, np.arange(16.0))
+
+  def test_replica_consistency_catches_divergence(self):
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    from spectralcluster_tpu.parallel import sanity
+    mesh = mesh_lib.make_mesh(dp=8, mp=1)
+
+    # Manufacture a "replicated" array whose copies differ per device: each
+    # device adds its own axis index. This is the silent failure mode the
+    # check exists for.
+    def skew(x):
+      return x + jax.lax.axis_index("batch").astype(jnp.float32)
+
+    bad = jax.jit(shard_map(skew, mesh=mesh, in_specs=P(), out_specs=P(),
+                            check_rep=False))(jnp.zeros((8,)))
+    with pytest.raises(AssertionError, match="replica consistency"):
+      sanity.check_replica_consistency(mesh, bad)
+
+  def test_batched_pipeline_deterministic(self):
+    from spectralcluster_tpu.parallel import sanity
+    rng = np.random.RandomState(0)
+    mesh = mesh_lib.make_mesh(dp=8, mp=1)
+    utts = [_utterance(rng, 24)[0] for _ in range(8)]
+    sanity.check_deterministic(
+        lambda: np.concatenate(
+            batch_lib.cluster_batch(utts, _cfg(), mesh=mesh)))
+
+
 class TestGraftEntry:
 
   def test_entry_compiles(self):
