@@ -260,6 +260,33 @@ def apply_padding_sentinels(mat: jnp.ndarray, n_valid,
 # ---------------------------------------------------------------------------
 
 
+def cholqr2_shifted(y: jnp.ndarray) -> jnp.ndarray:
+  """Orthonormalize a tall-skinny panel with shift-stabilized CholeskyQR2.
+
+  MATMUL-ONLY (plus an O(b³) Cholesky/triangular-solve on the tiny (b, b)
+  Gram): on TPU this replaces Householder QR, whose per-panel
+  dynamic-update-slice chain is both slow to execute (sequential, off-MXU)
+  and pathologically slow for XLA to compile when it sits inside a
+  while_loop body (measured: the top-k solver's escalation loop with
+  jnp.linalg.qr cold-compiled for >20 min at N=10240 through this
+  environment's remote-compile tunnel). The Gram matmul row-shards cleanly
+  (GSPMD inserts one psum), unlike QR.
+
+  The shift keeps Cholesky from breaking down when the panel is
+  ill-conditioned (power-iterated panels align toward the dominant
+  eigenvector; κ(Gram) = κ(panel)²); the second pass restores orthogonality
+  to working precision. Residual-gated callers (topk_eigh_subspace) escalate
+  iterations if orthogonality loss ever degrades the Ritz residuals.
+  """
+  b = y.shape[1]
+  for _ in range(2):
+    gram = jnp.matmul(y.T, y, preferred_element_type=jnp.float32)
+    delta = 1e-6 * jnp.maximum(jnp.max(jnp.diag(gram)), 1e-30)
+    r = jnp.linalg.cholesky(gram + delta * jnp.eye(b, dtype=y.dtype))
+    y = jax.scipy.linalg.solve_triangular(r, y.T, lower=True).T
+  return y
+
+
 def topk_eigh_subspace(
     mat: jnp.ndarray,
     k: int,
@@ -274,7 +301,8 @@ def topk_eigh_subspace(
   """Randomized subspace (block power) iteration for extreme eigenpairs.
 
   For N x N sharded across chips, each iteration is one sharded (N,N)x(N,b)
-  matmul + a small QR — the collectives are inserted by GSPMD from the
+  matmul + a matmul-only CholeskyQR2 orthonormalization (see
+  cholqr2_shifted) — the collectives are inserted by GSPMD from the
   sharding annotations on ``mat``. For smallest eigenpairs of a PSD matrix,
   iterate on (shift*I - M); ``shift`` defaults to a Gershgorin upper bound.
 
@@ -299,9 +327,7 @@ def topk_eigh_subspace(
 
   def iterate(q, steps):
     def body(_, q):
-      z = op(q)
-      q, _ = jnp.linalg.qr(z)
-      return q
+      return cholqr2_shifted(op(q))
     return jax.lax.fori_loop(0, steps, body, q)
 
   def rayleigh_ritz(q):
@@ -318,8 +344,7 @@ def topk_eigh_subspace(
     scale = jnp.maximum(jnp.max(jnp.abs(w_small)), 1e-30)
     return w_small[:k], v, jnp.max(res) / scale
 
-  q = jax.random.normal(key, (n, b), dtype=mat.dtype)
-  q, _ = jnp.linalg.qr(q)
+  q = cholqr2_shifted(jax.random.normal(key, (n, b), dtype=mat.dtype))
   q = iterate(q, num_iters)
 
   if residual_tol is None:
