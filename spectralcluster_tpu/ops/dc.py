@@ -112,17 +112,28 @@ def matrix_sign(x: jnp.ndarray) -> jnp.ndarray:
   splitting (XLA's own eigh divide-and-conquer shares it).
   """
   a, b, c = _QUINTIC
-  for _ in range(_SIGN_QUINTIC_STEPS):
+  n = x.shape[0]
+  eye = jnp.eye(n, dtype=x.dtype)
+
+  # lax.fori_loop, not Python unrolling: the iteration bodies are identical,
+  # and an unrolled chain of ~34 (N, N) matmuls at N=10240 takes >28 min to
+  # compile through this environment's remote-compile tunnel (the rolled
+  # form compiles the body once). Per-iteration fusion loss is negligible —
+  # each body is dominated by its giant matmuls.
+  def quintic_step(_, x):
     x2 = jnp.matmul(x, x, preferred_element_type=jnp.float32)
     x4 = jnp.matmul(x2, x2, preferred_element_type=jnp.float32)
-    n = x.shape[0]
-    poly = a * jnp.eye(n, dtype=x.dtype) + b * x2 + c * x4
+    poly = a * eye + b * x2 + c * x4
     x = jnp.matmul(x, poly, preferred_element_type=jnp.float32)
-    x = 0.5 * (x + x.T)
-  for _ in range(_SIGN_NS_STEPS):
+    return 0.5 * (x + x.T)
+
+  def ns_step(_, x):
     x2 = jnp.matmul(x, x, preferred_element_type=jnp.float32)
     x = 1.5 * x - 0.5 * jnp.matmul(x, x2, preferred_element_type=jnp.float32)
-    x = 0.5 * (x + x.T)
+    return 0.5 * (x + x.T)
+
+  x = jax.lax.fori_loop(0, _SIGN_QUINTIC_STEPS, quintic_step, x)
+  x = jax.lax.fori_loop(0, _SIGN_NS_STEPS, ns_step, x)
   return x
 
 
@@ -168,9 +179,12 @@ def _sign_project_jit(n: int, descend: bool, with_nvalid: bool):
     pv = jax.random.normal(jax.random.PRNGKey(3), (n, 1), h.dtype)
     pv = jnp.where(valid[:, None], pv, 0.0)
     pv = pv / jnp.maximum(jnp.linalg.norm(pv), 1e-30)
-    for _ in range(12):
-      pv = jnp.matmul(h, pv, preferred_element_type=jnp.float32)
-      pv = pv / jnp.maximum(jnp.linalg.norm(pv), 1e-30)
+
+    def power_step(_, v):
+      v = jnp.matmul(h, v, preferred_element_type=jnp.float32)
+      return v / jnp.maximum(jnp.linalg.norm(v), 1e-30)
+
+    pv = jax.lax.fori_loop(0, 12, power_step, pv)
     norm_lo = jnp.linalg.norm(
         jnp.matmul(h, pv, preferred_element_type=jnp.float32))
     norm2 = jnp.minimum(1.05 * norm_lo, alpha)
@@ -281,9 +295,12 @@ def _project_block_jit(n: int, k_pad: int, descend: bool):
     g = jax.random.normal(key, (n, k_pad), dtype=m.dtype)
     col_ok = (jnp.arange(k_pad) < k).astype(m.dtype)
     y = jnp.matmul(p, g, preferred_element_type=jnp.float32) * col_ok[None, :]
-    for _ in range(_PROJECT_ITERS):
+
+    def proj_step(_, y):
       q = _cholqr2_shifted(y, k_pad, col_ok)
-      y = jnp.matmul(p, q, preferred_element_type=jnp.float32)
+      return jnp.matmul(p, q, preferred_element_type=jnp.float32)
+
+    y = jax.lax.fori_loop(0, _PROJECT_ITERS, proj_step, y)
     q = _cholqr2_shifted(y, k_pad, col_ok)
     keep = jnp.linalg.norm(q, axis=0) > 0.5
     k_eff = jnp.sum(keep).astype(jnp.int32)
