@@ -194,7 +194,7 @@ class TestSanity:
 
   def test_replica_consistency_catches_divergence(self):
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
     from spectralcluster_tpu.parallel import sanity
     mesh = mesh_lib.make_mesh(dp=8, mp=1)
@@ -206,7 +206,7 @@ class TestSanity:
       return x + jax.lax.axis_index("batch").astype(jnp.float32)
 
     bad = jax.jit(shard_map(skew, mesh=mesh, in_specs=P(), out_specs=P(),
-                            check_rep=False))(jnp.zeros((8,)))
+                            check_vma=False))(jnp.zeros((8,)))
     with pytest.raises(AssertionError, match="replica consistency"):
       sanity.check_replica_consistency(mesh, bad)
 
@@ -218,6 +218,26 @@ class TestSanity:
     sanity.check_deterministic(
         lambda: np.concatenate(
             batch_lib.cluster_batch(utts, _cfg(), mesh=mesh)))
+
+  def test_debug_nans_traps_nonfinite(self):
+    import jax.numpy as jnp
+    from spectralcluster_tpu.parallel import sanity
+
+    @jax.jit
+    def bad(x):
+      return jnp.log(x)  # log(0) -> -inf is fine; log(-1) -> nan traps
+
+    with sanity.debug_nans():
+      with pytest.raises(FloatingPointError):
+        jax.device_get(bad(jnp.asarray(-1.0)))
+    # Trap restored off: the same call must NOT raise afterwards.
+    assert bool(np.isnan(jax.device_get(bad(jnp.asarray(-1.0)))))
+
+  def test_ring_order_holds_on_both_axes(self):
+    from spectralcluster_tpu.parallel import sanity
+    mesh = mesh_lib.make_mesh(dp=2, mp=4)
+    sanity.check_ring_order(mesh, "model")
+    sanity.check_ring_order(mesh, "batch")
 
 
 class TestGraftEntry:
