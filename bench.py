@@ -232,18 +232,22 @@ def run_leg_subprocess(n, solver, timeout_s):
   env["SCT_BENCH_LEG"] = "1"
   env["SCT_LEG_N"] = str(n)
   env["SCT_LEG_SOLVER"] = solver or ""
+  # Leg stderr goes STRAIGHT to our stderr (unbuffered child): a timed-out
+  # leg must still leave its progress trail in the driver log — losing the
+  # diagnostics with the leg was how the round-3 warm-cache stall initially
+  # presented as a silent "timeout after 442s".
+  proc = subprocess.Popen(
+      [sys.executable, "-u", os.path.abspath(__file__)],
+      env=env, stdout=subprocess.PIPE, stderr=sys.stderr, text=True)
   try:
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__)],
-        env=env, capture_output=True, text=True, timeout=timeout_s)
+    stdout, _ = proc.communicate(timeout=timeout_s)
   except subprocess.TimeoutExpired:
+    proc.kill()
+    proc.communicate()
     return None, f"timeout after {timeout_s:.0f}s"
-  sys.stderr.write(proc.stderr)
-  sys.stderr.flush()
   if proc.returncode != 0:
-    tail = (proc.stderr or "").strip().splitlines()[-1:] or ["?"]
-    return None, f"rc={proc.returncode}: {tail[0][:160]}"
-  for line in reversed(proc.stdout.strip().splitlines()):
+    return None, f"rc={proc.returncode}"
+  for line in reversed((stdout or "").strip().splitlines()):
     line = line.strip()
     if line.startswith("{"):
       try:
