@@ -19,15 +19,22 @@ Deliverability design (VERDICT r2 item 1 — the round-2 record was lost to a
 461 s cold compile blowing the driver budget):
   * every solver leg runs in a SUBPROCESS with a timeout derived from the
     remaining deadline budget (SCT_BENCH_DEADLINE_S, default 500 s), so one
-    slow cold compile can never prevent the final JSON from printing;
-  * the headline solver walks an N-ladder (10240 -> 4096 -> 2048): if the
-    target size cannot be measured inside the budget, a smaller measured
-    speedup is reported (flagged "degraded") instead of nothing;
+    slow cold compile can never prevent the final JSON from printing; leg
+    stderr streams straight through, so even a timed-out leg leaves a trail;
+  * INSURANCE-FIRST scheduling: a cheap N=2048 measurement is banked before
+    the target-N attempt, because first-call latency through this backend's
+    remote-compile tunnel is unpredictable (observed 136 s and 556 s for
+    the SAME cached N=10240 program on the same day — the persistent
+    compile cache is written but does not cut the first call; the cost is
+    remote-side). The headline upgrades to the largest N that lands;
+    anything less than the target is flagged "degraded";
   * truncated .jax_cache entries (a killed run leaves one; JAX then warns
     ZstdError and cold-compiles forever after) are detected and deleted
     before any compilation;
-  * a committed warm-cache mirror (benchmarks/warm_cache/) is restored into
-    .jax_cache so a fresh checkout starts warm.
+  * a warm-cache mirror (benchmarks/warm_cache/), if present, is restored
+    into .jax_cache. NOTE: measured on this backend the mirror does NOT
+    reduce first-call latency (see above), so it is no longer committed —
+    budget structure, not cache warmth, is what guarantees the record.
 
 Measures BOTH eigensolvers at the bench size:
   * SubspaceIteration — the O(N^2 k) top-k path, staged at N>=8192 (three
@@ -66,6 +73,16 @@ _RESERVE_S = 10.0
 # Don't bother starting a leg with less than this much budget left: jax
 # import + backend init alone costs ~15-20 s in a subprocess.
 _MIN_LEG_S = 45.0
+# While the headline is unresolved, hold back this much budget from the top
+# ladder rung so a smaller rung can still be measured if it times out. The
+# remote-compile tunnel's cold time at N=10240 was observed anywhere from
+# 136 s to 556 s for the SAME program on the same day — the persistent
+# compile cache does not hit across processes on this backend, so budget
+# splitting (not cache warmth) is what guarantees a non-empty record.
+_FALLBACK_RESERVE_S = 150.0
+# Cap on the insurance rung (N=2048 monolith first-calls in ~30-60 s
+# through a healthy tunnel; see bench_r3_record.log).
+_INSURANCE_CAP_S = 180.0
 
 
 def _log(msg):
@@ -271,10 +288,6 @@ def main():
   n_target = int(os.environ.get("SCT_BENCH_N", 10240))
   if n_target not in sizes:
     n_target = sizes[-1]
-  # Headline N-ladder: the target size first, then smaller sizes that
-  # cold-compile in well under a minute — a degraded measured record beats
-  # an empty one.
-  ladder = [n_target] + [n for n in (4096, 2048, 1024) if n < n_target]
 
   only = os.environ.get("SCT_BENCH_SOLVER")
   if only is not None:
@@ -282,44 +295,79 @@ def main():
   else:
     solvers = ["SubspaceIteration", None]  # both; subspace is the headline
 
+  # First-call latency through this backend's remote-compile tunnel is
+  # UNPREDICTABLE (observed 136 s and 556 s for the same N=10240 program on
+  # the same day; the persistent compile cache is written but does not cut
+  # the first call — the cost is remote-side). So: lock in a cheap
+  # INSURANCE measurement first (N=2048 first-calls in well under a minute),
+  # then gamble the remaining budget on the target size and upgrade the
+  # headline if it lands. An empty record is the one unacceptable outcome
+  # (it cost round 2 its bench artifact).
+  headline_solver = solvers[0]
+  htag = headline_solver or "full_eigh"
   extras = {}
+  measured = {}   # n -> entry, for the headline solver
+
+  def attempt(solver, tag, n, cap, min_s=_MIN_LEG_S):
+    budget = _remaining(deadline_s)
+    cap = min(cap, budget)
+    if cap < min_s:
+      extras.setdefault(tag, {}).setdefault(
+          "skipped", f"insufficient budget ({budget:.0f}s left) for N={n}")
+      _log(f"# {tag}: skipping N={n}, {budget:.0f}s budget left")
+      return None
+    _log(f"# {tag}: N={n} (budget {cap:.0f}s)")
+    entry, err = run_leg_subprocess(n, solver, cap)
+    if entry is None:
+      extras.setdefault(tag, {})[f"N{n}"] = f"failed: {err}"
+      _log(f"# {tag}: N={n} failed: {err}")
+      return None
+    base_s = baseline[str(n)]["predict_s"]
+    entry["speedup"] = round(base_s / entry["latency_s"], 2)
+    entry["n"] = n
+    _log(f"# {tag}: N={n} ours={entry['latency_s']:.3f}s "
+         f"numpy={base_s:.3f}s compile={entry['compile_s']:.1f}s "
+         f"n_clusters={entry['n_clusters']} parity={entry['parity']}")
+    return entry
+
+  insurance_n = max((n for n in sizes if n <= 2048), default=sizes[0])
+  if n_target > insurance_n:
+    # Modest cap: if the tunnel is so congested that an N=2048 monolith
+    # can't first-call inside it, the target rung wouldn't land either —
+    # better to fail fast and leave the budget to the target attempt.
+    entry = attempt(headline_solver, htag, insurance_n,
+                    cap=min(_INSURANCE_CAP_S,
+                            _remaining(deadline_s) - _FALLBACK_RESERVE_S))
+    if entry is not None:
+      measured[insurance_n] = entry
+  # The target rung gets everything that's left; with the insurance rung
+  # already banked there is nothing to hold back for.
+  entry = attempt(headline_solver, htag, n_target, cap=_remaining(deadline_s))
+  if entry is not None:
+    measured[n_target] = entry
+  elif not measured:
+    # No insurance (target <= 2048 or insurance failed): walk the ladder.
+    for n in (n for n in (4096, 2048, 1024) if n < n_target):
+      entry = attempt(headline_solver, htag, n, cap=_remaining(deadline_s))
+      if entry is not None:
+        measured[n] = entry
+        break
+
   headline = None
   headline_n = None
-  for i, solver in enumerate(solvers):
-    tag = solver or "full_eigh"
-    is_headline = headline is None
-    # The headline walks the N-ladder until something is measured; the
-    # secondary legs run at the headline's achieved N only.
-    for n in (ladder if is_headline else [headline_n]):
-      budget = _remaining(deadline_s)
-      # Keep enough budget for at least one more (possibly degraded) attempt
-      # while the headline is unresolved.
-      cap = budget - _MIN_LEG_S if (is_headline and n == ladder[0]
-                                    and len(ladder) > 1) else budget
-      if cap < _MIN_LEG_S:
-        extras.setdefault(tag, {})["skipped"] = (
-            f"insufficient budget ({budget:.0f}s left) for N={n}")
-        _log(f"# {tag}: skipping N={n}, {budget:.0f}s budget left")
-        break
-      _log(f"# {tag}: N={n} (budget {cap:.0f}s)")
-      entry, err = run_leg_subprocess(n, solver, cap)
-      if entry is None:
-        extras.setdefault(tag, {})[f"N{n}"] = f"failed: {err}"
-        _log(f"# {tag}: N={n} failed: {err}")
-        continue
-      base_s = baseline[str(n)]["predict_s"]
-      entry["speedup"] = round(base_s / entry["latency_s"], 2)
-      entry["n"] = n
-      if n != n_target:
-        entry["degraded"] = f"target N={n_target} did not fit the budget"
-      extras[tag] = entry
-      _log(f"# {tag}: N={n} ours={entry['latency_s']:.3f}s "
-           f"numpy={base_s:.3f}s compile={entry['compile_s']:.1f}s "
-           f"n_clusters={entry['n_clusters']} parity={entry['parity']}")
-      if is_headline:
-        headline = (tag, entry)
-        headline_n = n
-      break
+  if measured:
+    headline_n = max(measured)
+    best = measured[headline_n]
+    if headline_n != n_target:
+      best["degraded"] = f"target N={n_target} did not fit the budget"
+    extras[htag] = best
+    headline = (htag, best)
+    # Secondary solver legs at the headline's achieved N, budget permitting.
+    for solver in solvers[1:]:
+      tag = solver or "full_eigh"
+      entry = attempt(solver, tag, headline_n, cap=_remaining(deadline_s))
+      if entry is not None:
+        extras[tag] = entry
 
   if headline is None:
     print(json.dumps({"metric": f"icassp2018_e2e_speedup_vs_numpy_N{n_target}",
