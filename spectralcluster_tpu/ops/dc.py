@@ -446,9 +446,11 @@ def eigh_topk_dc(
   sign_fn = _sign_project_jit(n, descend, with_nvalid)
   p, k_f, b_f, sigma, alpha, norm2 = (
       sign_fn(m, n_valid) if with_nvalid else sign_fn(m))
-  sigma = float(jax.device_get(sigma))
-  alpha = float(jax.device_get(alpha))
-  norm2 = float(jax.device_get(norm2))
+  # ONE host sync for all five scalars: on a tunneled backend each
+  # device_get pays a full ~0.1-0.2 s round trip, and these are all outputs
+  # of the same dispatched program.
+  k_f, b_f, sigma, alpha, norm2 = map(
+      float, jax.device_get((k_f, b_f, sigma, alpha, norm2)))
   bound = abs(sigma) + alpha
   scale = _scale if _scale is not None else max(abs(sigma) + norm2, 1e-30)
   if bound <= 1e-6 * scale:
@@ -458,7 +460,7 @@ def eigh_topk_dc(
     w, v = _zero_block_jit(n, t)(jnp.float32(sigma))
     return w, v, bound / scale, scale
 
-  k_est = int(round(float(jax.device_get(k_f))))
+  k_est = int(round(k_f))
   k_est = max(1, min(k_est, nv - 1))
   # Basis margin: covers trace-rounding fuzz plus every boundary eigenvalue
   # (those with non-converged sign) — the count of nonzero projector
@@ -466,7 +468,7 @@ def eigh_topk_dc(
   # partially-captured direction would contaminate the Ritz values with
   # subspace mixtures. Each mode with p in [0.15, 0.85] contributes
   # p(1-p) >= 0.1275 to the boundary mass, so 8*b_f covers their count.
-  margin = 8 + int(math.ceil(8.0 * float(jax.device_get(b_f))))
+  margin = 8 + int(math.ceil(8.0 * b_f))
   k_cover = min(k_est + margin, nv)
   if k_cover >= nv - 8:
     # The split achieved no meaningful reduction (spectrum concentrated at
