@@ -247,6 +247,10 @@ def _cholqr2_shifted(y, k_pad, col_ok):
     r = jnp.linalg.cholesky(gram + delta * jnp.eye(k_pad, dtype=y.dtype))
     # y <- y r^{-T} (r lower): solve r q^T = y^T.
     y = _solve_tri_chunked(r, y.T).T
+    # A Cholesky breakdown (rounding pushes the shifted Gram indefinite at
+    # very wide panels) yields NaN columns; zero them so they fail the
+    # downstream norm>0.5 keep test instead of poisoning k_eff/Ritz values.
+    y = jnp.where(jnp.isfinite(y), y, 0.0)
     y = y * col_ok[None, :]
   return y
 
@@ -486,6 +490,13 @@ def eigh_topk_dc(
     q, mq, a1, k_eff = _project_block_jit(n, k_pad, descend)(m, p, k_cover,
                                                              key_basis)
     k_eff = int(jax.device_get(k_eff))
+    if k_eff < t:
+      # The range finder captured fewer directions than requested (k_eff=0
+      # means every column failed the keep test — e.g. a wide-panel Cholesky
+      # breakdown zeroed the basis). Tracing downstream stages with empty
+      # blocks is a shape error; the certified iterative fallback is always
+      # sound.
+      return _subspace_fallback(m, t, key_rec, descend, n_valid, scale)
     w, v, res = _topt_of_block(a1, m, q, mq, t, key_rec, descend, k_eff,
                                k_pad, max_block, _depth, scale)
     _check_residual(res)
@@ -497,6 +508,10 @@ def eigh_topk_dc(
   q, mq, a1, k_eff = _project_block_jit(n, k_pad, descend)(m, p, k_cover,
                                                            key_basis)
   k_eff = int(jax.device_get(k_eff))
+  if k_eff == 0:
+    # Nothing captured on the kept side (see the k_eff < t guard above):
+    # downstream stages would trace zero-size blocks.
+    return _subspace_fallback(m, t, key_rec, descend, n_valid, scale)
   t1 = min(t, k_est, k_eff)
   wt1, vt1, res1 = _topt_of_block(a1, m, q, mq, t1, key_rec, descend,
                                   k_eff, k_pad, max_block, _depth, scale)
@@ -513,6 +528,8 @@ def eigh_topk_dc(
                                                                kc_cover,
                                                                key_comp)
   kc_eff = int(jax.device_get(kc_eff))
+  if kc_eff == 0:
+    return _subspace_fallback(m, t, key_rec2, descend, n_valid, scale)
   # Request extra pairs so the merge still has t candidates after dedup
   # removes boundary modes captured by both blocks.
   t2 = max(t_rem, min(t_rem + _MERGE_EXTRA, kc_eff))

@@ -110,6 +110,46 @@ class TestEighTopkDC:
         [np.full(200, 1.0), np.full(112, 3.0), np.full(200, 5.0)])
     _check(_make_sym(n, eigs))
 
+  def test_empty_basis_routes_to_certified_fallback(self, monkeypatch):
+    # N=20480 on-chip regression: a wide-panel Cholesky breakdown zeroed
+    # every basis column (k_eff=0), and downstream stages then traced
+    # zero-size blocks ("zero-size array to reduction operation max"). The
+    # host guard must route an empty capture to the certified subspace
+    # fallback instead.
+    n = 256
+    eigs = np.concatenate([np.linspace(2.0, 3.0, 64),
+                           np.linspace(0.0, 0.1, n - 64)])
+    a = _make_sym(n, eigs)
+    orig = dc._project_block_jit
+
+    def stub(n_, k_pad, descend):
+      real = orig(n_, k_pad, descend)
+
+      def run(mm, p, k, key):
+        q, mq, a1, _ = real(mm, p, k, key)
+        return jnp.zeros_like(q), jnp.zeros_like(mq), a1, jnp.int32(0)
+
+      return run
+
+    monkeypatch.setattr(dc, "_project_block_jit", stub)
+    w, v, res, _ = dc.eigh_topk_dc(
+        jnp.asarray(a.astype(np.float32)), 8, jax.random.PRNGKey(0),
+        max_block=128)
+    ref = np.linalg.eigh(a.astype(np.float64))[0][::-1][:8]
+    np.testing.assert_allclose(np.asarray(w), ref, atol=1e-3 * ref[0])
+    assert res < 5e-3
+
+  def test_cholqr2_zeroes_nonfinite_columns(self):
+    # A NaN-poisoned panel column must come out zeroed (failing the norm
+    # keep test) rather than propagating NaN into k_eff/Ritz values.
+    y = np.asarray(_RNG.randn(64, 8), np.float32)
+    y[:, 3] = np.nan
+    col_ok = jnp.ones((8,), jnp.float32)
+    q = np.asarray(dc._cholqr2_shifted(jnp.asarray(y), 8, col_ok))
+    assert np.isfinite(q).all()
+    norms = np.linalg.norm(q, axis=0)
+    assert norms[3] < 0.5
+
   def test_laplacian_like_ascend(self):
     # Near-zero bottom cluster + bulk: the case where spurious oversampling
     # Ritz pairs inserted at a mid-level projection polluted the bottom-t
