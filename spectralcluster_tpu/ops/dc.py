@@ -49,6 +49,8 @@ from __future__ import annotations
 
 import functools
 import math
+import os
+import sys
 import typing
 
 import jax
@@ -57,6 +59,16 @@ import numpy as np
 
 from spectralcluster_tpu.ops import eigen as eigen_ops
 from spectralcluster_tpu.precision import precise_jit
+
+
+def _debug(msg: str) -> None:
+  """Per-level orchestration trace, enabled by SCT_DC_DEBUG=1.
+
+  Host-side only (the solver is host-orchestrated); indispensable for
+  diagnosing large-N behavior where a failed run costs an hour of remote
+  compile time."""
+  if os.environ.get("SCT_DC_DEBUG") == "1":
+    print(f"# dc: {msg}", file=sys.stderr, flush=True)
 
 # Relative distance from the split point below which an eigenvalue's side
 # assignment is ambiguous. 1e-4 keeps the first QDWH iteration's Cholesky
@@ -455,6 +467,8 @@ def eigh_topk_dc(
   # of the same dispatched program.
   k_f, b_f, sigma, alpha, norm2 = map(
       float, jax.device_get((k_f, b_f, sigma, alpha, norm2)))
+  _debug(f"depth={_depth} n={n} nv={nv} t={t} k_f={k_f:.1f} b_f={b_f:.1f} "
+         f"sigma={sigma:.3e} alpha={alpha:.3e} norm2={norm2:.3e}")
   bound = abs(sigma) + alpha
   scale = _scale if _scale is not None else max(abs(sigma) + norm2, 1e-30)
   if bound <= 1e-6 * scale:
@@ -490,6 +504,8 @@ def eigh_topk_dc(
     q, mq, a1, k_eff = _project_block_jit(n, k_pad, descend)(m, p, k_cover,
                                                              key_basis)
     k_eff = int(jax.device_get(k_eff))
+    _debug(f"depth={_depth} kept-covers-t: k_est={k_est} margin={margin} "
+           f"k_cover={k_cover} k_pad={k_pad} k_eff={k_eff}")
     if k_eff < t:
       # The range finder captured fewer directions than requested (k_eff=0
       # means every column failed the keep test — e.g. a wide-panel Cholesky
@@ -508,6 +524,8 @@ def eigh_topk_dc(
   q, mq, a1, k_eff = _project_block_jit(n, k_pad, descend)(m, p, k_cover,
                                                            key_basis)
   k_eff = int(jax.device_get(k_eff))
+  _debug(f"depth={_depth} complement-split: k_est={k_est} margin={margin} "
+         f"k_cover={k_cover} k_pad={k_pad} k_eff={k_eff}")
   if k_eff == 0:
     # Nothing captured on the kept side (see the k_eff < t guard above):
     # downstream stages would trace zero-size blocks.
@@ -528,6 +546,8 @@ def eigh_topk_dc(
                                                                kc_cover,
                                                                key_comp)
   kc_eff = int(jax.device_get(kc_eff))
+  _debug(f"depth={_depth} complement-block: kc_est={kc_est} "
+         f"kc_cover={kc_cover} kc_pad={kc_pad} kc_eff={kc_eff} t1={t1}")
   if kc_eff == 0:
     return _subspace_fallback(m, t, key_rec2, descend, n_valid, scale)
   # Request extra pairs so the merge still has t candidates after dedup
