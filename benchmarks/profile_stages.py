@@ -9,7 +9,8 @@ sandbox's host<->device RTT floor:
   eigen    : + top-k subspace eigensolver (or full eigh with SCT_BATCH_SOLVER)
   full     : + eigengap + masked K-Means (the complete fixed-k step)
 
-Usage: [SCT_BATCH_SOLVER=Eigh] python benchmarks/profile_stages.py [batch] [n]
+Usage: [SCT_BATCH_SOLVER=Eigh] [SCT_BATCH_PRECISION=high]
+       python benchmarks/profile_stages.py [batch] [n]
 """
 
 import os
@@ -38,7 +39,8 @@ def main(batch=16, n=1024, d=256):
   cfg = pipeline.PipelineConfig(
       refinement_options=configs.icassp2018_refinement_options(),
       min_clusters=2, max_clusters=7, custom_dist="cosine", max_iter=300,
-      eigensolver=EigenSolver[solver])
+      eigensolver=EigenSolver[solver],
+      matmul_precision=os.environ.get("SCT_BATCH_PRECISION", "highest"))
   rng = np.random.RandomState(0)
   x = jnp.asarray(rng.randn(batch, n, d).astype(np.float32))
 
