@@ -44,7 +44,12 @@ def _tile(n: int) -> int:
 
 
 def _affinity_kernel(xn_ref, xnt_ref, out_ref):
-  dot = jnp.dot(xn_ref[:], xnt_ref[:], preferred_element_type=jnp.float32)
+  # Precision pinned INSIDE the kernel: the affinity contract is exact-f32
+  # cosine regardless of the ambient jax.default_matmul_precision, and
+  # Mosaic only lowers DEFAULT/HIGHEST dot precision (an ambient "high"
+  # would otherwise fail to compile the kernel).
+  dot = jnp.dot(xn_ref[:], xnt_ref[:], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
   out_ref[:] = (dot + 1.0) * 0.5
 
 
