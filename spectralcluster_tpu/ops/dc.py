@@ -159,70 +159,160 @@ def _bucket(k: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _valid_mask(n: int, with_nvalid: bool, m, n_valid):
+  if with_nvalid:
+    valid = jnp.arange(n) < n_valid
+    nv = n_valid.astype(m.dtype)
+  else:
+    valid = jnp.ones((n,), bool)
+    nv = jnp.asarray(n, m.dtype)
+  return valid, nv
+
+
+def _sign_prep_math(n, descend, with_nvalid, m, n_valid):
+  """Split point, scale bounds, and the scaled/pad-pinned sign operand."""
+  valid, nv = _valid_mask(n, with_nvalid, m, n_valid)
+  keep = valid[:, None] & valid[None, :]
+  mm = jnp.where(keep, m, 0.0)
+  # Split at the mean eigenvalue (masked trace / count): always strictly
+  # inside the spectrum unless the spectrum is constant.
+  sigma = jnp.sum(jnp.where(valid, jnp.diag(mm), 0.0)) / nv
+  h = mm - sigma * jnp.where(valid, 1.0, 0.0)[:, None] * jnp.eye(
+      n, dtype=m.dtype)
+  # Upper bound on ||h||_2: min(Gershgorin max row sum, Frobenius norm).
+  gersh = jnp.max(jnp.sum(jnp.abs(h), axis=1))
+  fro = jnp.linalg.norm(h)
+  alpha = jnp.maximum(jnp.minimum(gersh, fro), 1e-30)
+  # Tight ||h||_2 estimate via power iteration (matmul-only, O(N^2) per
+  # step — negligible next to the sign iteration's 31 O(N^3) matmuls).
+  # The Gershgorin/Frobenius bound can overestimate ||.||_2 by up to
+  # sqrt(n) (~100x at N=10240 for flat spectra); residual certificates
+  # scaled by it would then pass ~0.1-relative spurious pairs. Power
+  # iteration converges from below; 1.05x safety, capped by the bound.
+  pv = jax.random.normal(jax.random.PRNGKey(3), (n, 1), h.dtype)
+  pv = jnp.where(valid[:, None], pv, 0.0)
+  pv = pv / jnp.maximum(jnp.linalg.norm(pv), 1e-30)
+
+  def power_step(_, v):
+    v = jnp.matmul(h, v, preferred_element_type=jnp.float32)
+    return v / jnp.maximum(jnp.linalg.norm(v), 1e-30)
+
+  pv = jax.lax.fori_loop(0, 12, power_step, pv)
+  norm_lo = jnp.linalg.norm(
+      jnp.matmul(h, pv, preferred_element_type=jnp.float32))
+  norm2 = jnp.minimum(1.05 * norm_lo, alpha)
+  x0 = h / alpha
+  # Padded coordinates: pin to the sign value of the DISCARDED side so the
+  # kept-side projector excludes them (f(+-1) = +-1 is a fixed point of
+  # every QDWH / Newton–Schulz step).
+  pad_sign = -1.0 if descend else 1.0
+  x0 = x0 + pad_sign * jnp.where(valid, 0.0, 1.0)[:, None] * jnp.eye(
+      n, dtype=m.dtype)
+  return x0, sigma, alpha, norm2
+
+
+def _sign_finish_math(n, descend, with_nvalid, u, m_dtype, n_valid):
+  """Projector + rank estimate + boundary mass from the converged sign."""
+  valid, nv = _valid_mask(n, with_nvalid, u, n_valid)
+  keep = valid[:, None] & valid[None, :]
+  # Projector onto the kept side: top block for a descending eigengap scan,
+  # bottom block for ascending (Laplacian) scans.
+  p = 0.5 * (jnp.eye(n, dtype=m_dtype) + (u if descend else -u))
+  k_f = jnp.trace(p)
+  # Boundary mass: trace(P - P^2) = (nv - ||U||_F^2) / 4 counts eigenvalues
+  # whose sign did not converge to +-1 (they sit within ~l0*||h|| of the
+  # split point, each contributing <= 1/4). The basis margin must cover
+  # them: rank(P) can exceed round(trace(P)) by up to ~2x this mass.
+  ufro2 = jnp.sum(jnp.where(keep, u * u, 0.0))
+  b_f = jnp.maximum(nv - ufro2, 0.0) / 4.0
+  return p, k_f, b_f
+
+
 @functools.lru_cache(maxsize=64)
 def _sign_project_jit(n: int, descend: bool, with_nvalid: bool):
   """Stage 1: split point, scale, spectral projector, and its rank estimate."""
 
   def run(m, n_valid):
-    idx = jnp.arange(n)
-    if with_nvalid:
-      valid = idx < n_valid
-      nv = n_valid.astype(m.dtype)
-    else:
-      valid = jnp.ones((n,), bool)
-      nv = jnp.asarray(n, m.dtype)
-    keep = valid[:, None] & valid[None, :]
-    mm = jnp.where(keep, m, 0.0)
-    # Split at the mean eigenvalue (masked trace / count): always strictly
-    # inside the spectrum unless the spectrum is constant.
-    sigma = jnp.sum(jnp.where(valid, jnp.diag(mm), 0.0)) / nv
-    h = mm - sigma * jnp.where(valid, 1.0, 0.0)[:, None] * jnp.eye(
-        n, dtype=m.dtype)
-    # Upper bound on ||h||_2: min(Gershgorin max row sum, Frobenius norm).
-    gersh = jnp.max(jnp.sum(jnp.abs(h), axis=1))
-    fro = jnp.linalg.norm(h)
-    alpha = jnp.maximum(jnp.minimum(gersh, fro), 1e-30)
-    # Tight ||h||_2 estimate via power iteration (matmul-only, O(N^2) per
-    # step — negligible next to the sign iteration's 31 O(N^3) matmuls).
-    # The Gershgorin/Frobenius bound can overestimate ||.||_2 by up to
-    # sqrt(n) (~100x at N=10240 for flat spectra); residual certificates
-    # scaled by it would then pass ~0.1-relative spurious pairs. Power
-    # iteration converges from below; 1.05x safety, capped by the bound.
-    pv = jax.random.normal(jax.random.PRNGKey(3), (n, 1), h.dtype)
-    pv = jnp.where(valid[:, None], pv, 0.0)
-    pv = pv / jnp.maximum(jnp.linalg.norm(pv), 1e-30)
-
-    def power_step(_, v):
-      v = jnp.matmul(h, v, preferred_element_type=jnp.float32)
-      return v / jnp.maximum(jnp.linalg.norm(v), 1e-30)
-
-    pv = jax.lax.fori_loop(0, 12, power_step, pv)
-    norm_lo = jnp.linalg.norm(
-        jnp.matmul(h, pv, preferred_element_type=jnp.float32))
-    norm2 = jnp.minimum(1.05 * norm_lo, alpha)
-    x0 = h / alpha
-    # Padded coordinates: pin to the sign value of the DISCARDED side so the
-    # kept-side projector excludes them (f(+-1) = +-1 is a fixed point of
-    # every QDWH / Newton–Schulz step).
-    pad_sign = -1.0 if descend else 1.0
-    x0 = x0 + pad_sign * jnp.where(valid, 0.0, 1.0)[:, None] * jnp.eye(
-        n, dtype=m.dtype)
+    x0, sigma, alpha, norm2 = _sign_prep_math(n, descend, with_nvalid,
+                                              m, n_valid)
     u = matrix_sign(x0)
-    # Projector onto the kept side: top block for a descending eigengap scan,
-    # bottom block for ascending (Laplacian) scans.
-    p = 0.5 * (jnp.eye(n, dtype=m.dtype) + (u if descend else -u))
-    k_f = jnp.trace(p)
-    # Boundary mass: trace(P - P^2) = (nv - ||U||_F^2) / 4 counts eigenvalues
-    # whose sign did not converge to +-1 (they sit within ~l0*||h|| of the
-    # split point, each contributing <= 1/4). The basis margin must cover
-    # them: rank(P) can exceed round(trace(P)) by up to ~2x this mass.
-    ufro2 = jnp.sum(jnp.where(keep, u * u, 0.0))
-    b_f = jnp.maximum(nv - ufro2, 0.0) / 4.0
+    p, k_f, b_f = _sign_finish_math(n, descend, with_nvalid, u, m.dtype,
+                                    n_valid)
     return p, k_f, b_f, sigma, alpha, norm2
 
   if with_nvalid:
     return precise_jit(run)
   return precise_jit(lambda m: run(m, None))
+
+
+# Above this size the sign+projector runs as HOST-STAGED per-step programs:
+# at N=20480 the single sign+projector program exceeded the remote compile
+# helper's memory (SIGKILL; see BASELINE.md N=20480 section). Each staged
+# program holds only one iteration's 3-4 (N, N) buffers, bounding both
+# compile memory and compile time; the cost is 13 extra dispatches.
+_SIGN_SPLIT_N = 12288
+
+
+@functools.lru_cache(maxsize=8)
+def _sign_prep_jit(n: int, descend: bool, with_nvalid: bool):
+  def run(m, n_valid):
+    return _sign_prep_math(n, descend, with_nvalid, m, n_valid)
+  if with_nvalid:
+    return precise_jit(run)
+  return precise_jit(lambda m: run(m, None))
+
+
+@functools.lru_cache(maxsize=8)
+def _sign_quintic_step_jit(n: int):
+  a, b, c = _QUINTIC
+
+  def step(x):
+    eye = jnp.eye(n, dtype=x.dtype)
+    x2 = jnp.matmul(x, x, preferred_element_type=jnp.float32)
+    x4 = jnp.matmul(x2, x2, preferred_element_type=jnp.float32)
+    poly = a * eye + b * x2 + c * x4
+    x = jnp.matmul(x, poly, preferred_element_type=jnp.float32)
+    return 0.5 * (x + x.T)
+
+  return precise_jit(step)
+
+
+@functools.lru_cache(maxsize=8)
+def _sign_ns_step_jit(n: int):
+  def step(x):
+    x2 = jnp.matmul(x, x, preferred_element_type=jnp.float32)
+    x = 1.5 * x - 0.5 * jnp.matmul(x, x2, preferred_element_type=jnp.float32)
+    return 0.5 * (x + x.T)
+
+  return precise_jit(step)
+
+
+@functools.lru_cache(maxsize=8)
+def _sign_finish_jit(n: int, descend: bool, with_nvalid: bool):
+  def run(u, n_valid):
+    return _sign_finish_math(n, descend, with_nvalid, u, u.dtype, n_valid)
+  if with_nvalid:
+    return precise_jit(run)
+  return precise_jit(lambda u: run(u, None))
+
+
+def _sign_project(m, n_valid, n, descend, with_nvalid):
+  """Sign+projector stage: one program at moderate N, host-staged above
+  _SIGN_SPLIT_N. Same math either way (the step bodies are shared)."""
+  if n <= _SIGN_SPLIT_N:
+    fn = _sign_project_jit(n, descend, with_nvalid)
+    return fn(m, n_valid) if with_nvalid else fn(m)
+  prep = _sign_prep_jit(n, descend, with_nvalid)
+  x, sigma, alpha, norm2 = prep(m, n_valid) if with_nvalid else prep(m)
+  q_step = _sign_quintic_step_jit(n)
+  ns_step = _sign_ns_step_jit(n)
+  for _ in range(_SIGN_QUINTIC_STEPS):
+    x = q_step(x)
+  for _ in range(_SIGN_NS_STEPS):
+    x = ns_step(x)
+  fin = _sign_finish_jit(n, descend, with_nvalid)
+  p, k_f, b_f = fin(x, n_valid) if with_nvalid else fin(x)
+  return p, k_f, b_f, sigma, alpha, norm2
 
 
 # Filtered-subspace-iteration steps inside the projection stage. Each step
@@ -459,9 +549,8 @@ def eigh_topk_dc(
   if _depth > 8:
     return _subspace_fallback(m, t, key, descend, n_valid, _scale)
 
-  sign_fn = _sign_project_jit(n, descend, with_nvalid)
-  p, k_f, b_f, sigma, alpha, norm2 = (
-      sign_fn(m, n_valid) if with_nvalid else sign_fn(m))
+  p, k_f, b_f, sigma, alpha, norm2 = _sign_project(
+      m, n_valid, n, descend, with_nvalid)
   # ONE host sync for all five scalars: on a tunneled backend each
   # device_get pays a full ~0.1-0.2 s round trip, and these are all outputs
   # of the same dispatched program.

@@ -139,6 +139,32 @@ class TestEighTopkDC:
     np.testing.assert_allclose(np.asarray(w), ref, atol=1e-3 * ref[0])
     assert res < 5e-3
 
+  def test_host_staged_sign_matches_single_program(self, monkeypatch):
+    # Above _SIGN_SPLIT_N the sign+projector runs as per-step host-staged
+    # programs (the N=20480 compile-helper-OOM lever); the results must
+    # match the single-program path to float32 iteration noise, including
+    # under padding.
+    n = 256
+    eigs = np.concatenate([np.linspace(2.0, 3.0, 40),
+                           np.linspace(-1.0, 0.2, n - 40)])
+    a = jnp.asarray(_make_sym(n, eigs).astype(np.float32))
+    for n_valid, with_nvalid in ((None, False), (200, True)):
+      m = (a if n_valid is None
+           else eigen_ops.apply_padding_sentinels(a, n_valid, True))
+      ref = dc._sign_project(m, n_valid, n, True, with_nvalid)
+      monkeypatch.setattr(dc, "_SIGN_SPLIT_N", 64)
+      got = dc._sign_project(m, n_valid, n, True, with_nvalid)
+      monkeypatch.undo()
+      for r, g, tol in zip(ref, got, (5e-5, 1e-2, 1e-2, 1e-6, 1e-4, 1e-3)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=tol,
+                                   rtol=1e-4)
+
+  def test_dc_with_staged_sign_end_to_end(self, monkeypatch):
+    monkeypatch.setattr(dc, "_SIGN_SPLIT_N", 64)
+    n = 512
+    eigs = np.concatenate([[260.0, 250.0], _RNG.randn(n - 2) * 0.5])
+    _check(_make_sym(n, eigs))
+
   def test_cholqr2_zeroes_nonfinite_columns(self):
     # A NaN-poisoned panel column must come out zeroed (failing the norm
     # keep test) rather than propagating NaN into k_eff/Ritz values.
