@@ -107,6 +107,31 @@ _SIGN_QUINTIC_STEPS = 8
 _SIGN_NS_STEPS = 5
 
 
+def quintic_step(x: jnp.ndarray) -> jnp.ndarray:
+  """One overshoot-bounded quintic sign step: x <- x (aI + b x^2 + c x^4).
+
+  THE single definition of the step body — shared by ``matrix_sign``'s
+  fori_loop and the host-staged per-step program (``_sign_quintic_step_jit``,
+  N > _SIGN_SPLIT_N), so a coefficient or symmetrization change can never
+  diverge the two paths (ADVICE r3).
+  """
+  a, b, c = _QUINTIC
+  eye = jnp.eye(x.shape[0], dtype=x.dtype)
+  x2 = jnp.matmul(x, x, preferred_element_type=jnp.float32)
+  x4 = jnp.matmul(x2, x2, preferred_element_type=jnp.float32)
+  poly = a * eye + b * x2 + c * x4
+  x = jnp.matmul(x, poly, preferred_element_type=jnp.float32)
+  return 0.5 * (x + x.T)
+
+
+def ns_step(x: jnp.ndarray) -> jnp.ndarray:
+  """One cubic Newton–Schulz polish step: x <- 1.5 x - 0.5 x^3 (shared
+  between the monolithic and host-staged sign paths, see quintic_step)."""
+  x2 = jnp.matmul(x, x, preferred_element_type=jnp.float32)
+  x = 1.5 * x - 0.5 * jnp.matmul(x, x2, preferred_element_type=jnp.float32)
+  return 0.5 * (x + x.T)
+
+
 def matrix_sign(x: jnp.ndarray) -> jnp.ndarray:
   """Matrix sign of a symmetric x with ||x||_2 <= 1 (caller pre-scales).
 
@@ -123,29 +148,14 @@ def matrix_sign(x: jnp.ndarray) -> jnp.ndarray:
   side of zero — the inherent boundary ambiguity of any sign-based
   splitting (XLA's own eigh divide-and-conquer shares it).
   """
-  a, b, c = _QUINTIC
-  n = x.shape[0]
-  eye = jnp.eye(n, dtype=x.dtype)
-
   # lax.fori_loop, not Python unrolling: the iteration bodies are identical,
   # and an unrolled chain of ~34 (N, N) matmuls at N=10240 takes >28 min to
   # compile through this environment's remote-compile tunnel (the rolled
   # form compiles the body once). Per-iteration fusion loss is negligible —
   # each body is dominated by its giant matmuls.
-  def quintic_step(_, x):
-    x2 = jnp.matmul(x, x, preferred_element_type=jnp.float32)
-    x4 = jnp.matmul(x2, x2, preferred_element_type=jnp.float32)
-    poly = a * eye + b * x2 + c * x4
-    x = jnp.matmul(x, poly, preferred_element_type=jnp.float32)
-    return 0.5 * (x + x.T)
-
-  def ns_step(_, x):
-    x2 = jnp.matmul(x, x, preferred_element_type=jnp.float32)
-    x = 1.5 * x - 0.5 * jnp.matmul(x, x2, preferred_element_type=jnp.float32)
-    return 0.5 * (x + x.T)
-
-  x = jax.lax.fori_loop(0, _SIGN_QUINTIC_STEPS, quintic_step, x)
-  x = jax.lax.fori_loop(0, _SIGN_NS_STEPS, ns_step, x)
+  x = jax.lax.fori_loop(0, _SIGN_QUINTIC_STEPS, lambda _, x: quintic_step(x),
+                        x)
+  x = jax.lax.fori_loop(0, _SIGN_NS_STEPS, lambda _, x: ns_step(x), x)
   return x
 
 
@@ -264,27 +274,14 @@ def _sign_prep_jit(n: int, descend: bool, with_nvalid: bool):
 
 @functools.lru_cache(maxsize=8)
 def _sign_quintic_step_jit(n: int):
-  a, b, c = _QUINTIC
-
-  def step(x):
-    eye = jnp.eye(n, dtype=x.dtype)
-    x2 = jnp.matmul(x, x, preferred_element_type=jnp.float32)
-    x4 = jnp.matmul(x2, x2, preferred_element_type=jnp.float32)
-    poly = a * eye + b * x2 + c * x4
-    x = jnp.matmul(x, poly, preferred_element_type=jnp.float32)
-    return 0.5 * (x + x.T)
-
-  return precise_jit(step)
+  del n  # shape captured by the jit trace; cached per bucket for clarity
+  return precise_jit(quintic_step)
 
 
 @functools.lru_cache(maxsize=8)
 def _sign_ns_step_jit(n: int):
-  def step(x):
-    x2 = jnp.matmul(x, x, preferred_element_type=jnp.float32)
-    x = 1.5 * x - 0.5 * jnp.matmul(x, x2, preferred_element_type=jnp.float32)
-    return 0.5 * (x + x.T)
-
-  return precise_jit(step)
+  del n
+  return precise_jit(ns_step)
 
 
 @functools.lru_cache(maxsize=8)

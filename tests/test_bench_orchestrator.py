@@ -54,7 +54,7 @@ class TestInsuranceFirst:
   def test_record_survives_target_timeout(self, bench, capsys, monkeypatch):
     calls = []
 
-    def stub(n, solver, timeout_s):
+    def stub(n, solver, timeout_s, tag=None):
       calls.append((n, solver, timeout_s))
       if n >= 10240:
         return None, f"timeout after {timeout_s:.0f}s"
@@ -62,37 +62,140 @@ class TestInsuranceFirst:
 
     monkeypatch.setattr(bench, "run_leg_subprocess", stub)
     meta = _run_main(bench, capsys)
-    # The banked insurance rung IS the record: non-empty, degraded-flagged.
+    # The post-gamble ladder upgraded the banked 2048 insurance to 4096
+    # (ADVICE r3: intermediate rungs are tried while budget remains).
     assert meta["value"] > 0
     assert meta["parity"] is True
-    assert "N2048" in meta["metric"]
+    assert "N4096" in meta["metric"]
     assert "degraded" in meta["solvers"]["SubspaceIteration"]
     # Insurance ran before the target and with a bounded cap.
     assert calls[0][0] == 2048
     assert calls[0][2] <= bench._INSURANCE_CAP_S + 1e-6
     assert calls[1][0] == 10240
+    # The failed-attempt trail is preserved in the record (ADVICE r3).
+    attempts = meta["solvers"]["SubspaceIteration"]["attempts"]
+    assert any("timeout" in v for v in attempts.values())
 
   def test_headline_upgrades_when_target_lands(self, bench, capsys,
                                                monkeypatch):
-    def stub(n, solver, timeout_s):
+    def stub(n, solver, timeout_s, tag=None):
       return dict(_entry(latency=0.15 if n >= 10240 else 0.5)), None
 
     monkeypatch.setattr(bench, "run_leg_subprocess", stub)
     meta = _run_main(bench, capsys)
     assert "N10240" in meta["metric"]
     assert "degraded" not in meta["solvers"]["SubspaceIteration"]
-    # The secondary solver leg ran at the headline N.
+    # The exact-parity solver ladder banked its insurance rung AND the
+    # target (VERDICT r3 item 1: full_eigh must be in the record).
     assert meta["solvers"]["full_eigh"]["n"] == 10240
+    assert meta["solvers"]["full_eigh"]["rungs"]["N4096"]["parity"] is True
 
   def test_all_legs_failing_still_prints_json(self, bench, capsys,
                                               monkeypatch):
     monkeypatch.setattr(bench, "run_leg_subprocess",
-                        lambda n, s, t: (None, "rc=1"))
+                        lambda n, s, t, tag=None: (None, "rc=1"))
     with pytest.raises(SystemExit):
       bench.main()
     meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert meta["value"] == 0.0
     assert "error" in meta
+
+  def test_ladder_walks_even_when_insurance_failed(self, bench, capsys,
+                                                   monkeypatch):
+    """VERDICT r3 item 3: insurance timeout + target timeout must still
+    produce a non-empty record via the ladder walk (round 3's scheduler
+    only walked the ladder when NOTHING was banked *and* skipped it when
+    insurance had failed before a failed target)."""
+    calls = []
+
+    def stub(n, solver, timeout_s, tag=None):
+      calls.append((n, solver))
+      if solver == "SubspaceIteration" and n in (2048, 10240):
+        return None, f"timeout after {timeout_s:.0f}s"
+      return dict(_entry()), None
+
+    monkeypatch.setattr(bench, "run_leg_subprocess", stub)
+    meta = _run_main(bench, capsys)
+    assert meta["value"] > 0
+    assert "N4096" in meta["metric"]
+    assert (4096, "SubspaceIteration") in calls
+
+  def test_full_eigh_ladder_banks_insurance_on_target_timeout(
+      self, bench, capsys, monkeypatch):
+    """VERDICT r3 item 1: a full_eigh target timeout degrades to the
+    banked N=4096 exact measurement instead of a bare failure string."""
+    def stub(n, solver, timeout_s, tag=None):
+      if solver is None and n >= 10240:   # full_eigh target always dies
+        return None, f"timeout after {timeout_s:.0f}s"
+      return dict(_entry()), None
+
+    monkeypatch.setattr(bench, "run_leg_subprocess", stub)
+    meta = _run_main(bench, capsys)
+    fe = meta["solvers"]["full_eigh"]
+    assert fe["n"] == 4096
+    assert fe["parity"] is True
+    assert fe["latency_s"] > 0
+    # Both target attempts (initial + cache-resume retry) left a trail.
+    assert "retry" in fe["attempts"]["N10240"]
+
+  def test_headline_falls_back_to_other_solver(self, bench, capsys,
+                                               monkeypatch):
+    """If the headline solver banks nothing but full_eigh lands, the
+    record carries the full_eigh number rather than erroring out."""
+    def stub(n, solver, timeout_s, tag=None):
+      if solver == "SubspaceIteration":
+        return None, "rc=1"
+      return dict(_entry()), None
+
+    monkeypatch.setattr(bench, "run_leg_subprocess", stub)
+    meta = _run_main(bench, capsys)
+    assert meta["value"] > 0
+    assert "full_eigh" in meta["metric"]
+
+
+class TestScratchHarvest:
+
+  def test_partial_measurement_survives_leg_timeout(self, bench, capsys,
+                                                    monkeypatch, tmp_path):
+    """VERDICT r3 item 1a: a leg killed mid-repeats still banks the
+    samples it streamed to scratch."""
+    monkeypatch.setattr(bench, "_SCRATCH_DIR", str(tmp_path))
+    monkeypatch.setenv("SCT_BENCH_SOLVER", "SubspaceIteration")
+    monkeypatch.setenv("SCT_BENCH_N", "2048")
+
+    def stub(n, solver, timeout_s, tag=None):
+      # Simulate the leg dying after writing two samples to scratch.
+      bench._write_scratch(
+          bench._scratch_path(tag or solver, n),
+          {"compile_s": 120.0, "n_clusters": 2, "parity": True,
+           "staged": True, "backend": "stub", "samples": [0.2, 0.22]})
+      return None, "timeout after 300s"
+
+    monkeypatch.setattr(bench, "run_leg_subprocess", stub)
+    meta = _run_main(bench, capsys)
+    assert meta["value"] > 0
+    assert "N2048" in meta["metric"]
+    entry = meta["solvers"]["SubspaceIteration"]
+    assert entry["latency_s"] == pytest.approx(0.21)
+    assert "partial" in entry
+
+  def test_stale_scratch_is_cleared_at_startup(self, bench, capsys,
+                                               monkeypatch, tmp_path):
+    monkeypatch.setattr(bench, "_SCRATCH_DIR", str(tmp_path))
+    monkeypatch.setenv("SCT_BENCH_SOLVER", "SubspaceIteration")
+    monkeypatch.setenv("SCT_BENCH_N", "2048")
+    # A stale scratch file from a previous run...
+    bench._write_scratch(
+        bench._scratch_path("SubspaceIteration", 2048),
+        {"compile_s": 1.0, "n_clusters": 9, "parity": False,
+         "staged": True, "backend": "stale", "samples": [9.9]})
+    # ...must NOT be harvested into this run's record.
+    monkeypatch.setattr(bench, "run_leg_subprocess",
+                        lambda n, s, t, tag=None: (None, "rc=1"))
+    with pytest.raises(SystemExit):
+      bench.main()
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["value"] == 0.0
 
 
 class TestCacheHealing:
