@@ -33,12 +33,25 @@ REFERENCE_PATH = "/root/reference"
 
 
 def reference_available() -> bool:
-  return os.path.isdir(os.path.join(REFERENCE_PATH, "spectralcluster"))
+  """Is an upstream reference importable (mounted checkout or pip install)?
+
+  The parity suites gate CI too (VERDICT r3 item 8): when the read-only
+  checkout is absent, the pip-published ``spectralcluster`` package (the
+  same upstream project) serves as the differential oracle.
+  """
+  if os.path.isdir(os.path.join(REFERENCE_PATH, "spectralcluster")):
+    return True
+  try:
+    import spectralcluster  # noqa: F401
+    return True
+  except ImportError:
+    return False
 
 
 def import_reference():
   """Import the reference package for golden-output parity tests."""
-  if REFERENCE_PATH not in sys.path:
-    sys.path.insert(0, REFERENCE_PATH)
+  if os.path.isdir(os.path.join(REFERENCE_PATH, "spectralcluster")):
+    if REFERENCE_PATH not in sys.path:
+      sys.path.insert(0, REFERENCE_PATH)
   import spectralcluster  # noqa: F401
   return spectralcluster
