@@ -11,6 +11,13 @@ sandbox's host<->device RTT floor:
 
 Usage: [SCT_BATCH_SOLVER=Eigh] [SCT_BATCH_PRECISION=high]
        python benchmarks/profile_stages.py [batch] [n]
+
+STAGED mode (VERDICT r3 item 6 — attribute device time at the RECORD sizes,
+where the pipeline runs as the eigh-split staged executor, not the batched
+monolith): `python benchmarks/profile_stages.py staged [n] [d]` runs
+pipeline.spectral_cluster_fixed_k_staged with blocking StageTimings and
+reports per-stage device time vs the tunnel RTT floor plus achieved TF/s of
+the subspace-iteration matmuls vs the exact-precision peak.
 """
 
 import os
@@ -140,6 +147,104 @@ def main(batch=16, n=1024, d=256):
             f"{cfg.matmul_precision}-precision peak)")
 
 
+def staged_main(n=10240, d=256, repeats=5):
+  """Per-stage profile of the staged executor at record sizes."""
+  from spectralcluster_tpu.observability import StageTimings
+
+  solver = os.environ.get("SCT_BATCH_SOLVER", "SubspaceIteration")
+  cfg = pipeline.PipelineConfig(
+      refinement_options=configs.icassp2018_refinement_options(),
+      min_clusters=2, max_clusters=7, custom_dist="cosine", max_iter=300,
+      eigensolver=EigenSolver[solver],
+      matmul_precision=os.environ.get("SCT_BATCH_PRECISION", "highest"))
+  rng = np.random.RandomState(0)
+  centers = rng.randn(2, d) * 3
+  true = np.repeat(np.arange(2), n // 2)
+  x = jnp.asarray(
+      (centers[true] + rng.randn(n, d) * 0.4).astype(np.float32))
+  key = jax.random.PRNGKey(0)
+  print("backend:", jax.devices()[0].platform, jax.devices()[0].device_kind,
+        flush=True)
+
+  rtt_fn = jax.jit(jnp.sum)
+  jax.device_get(rtt_fn(x))
+  rtt = float(np.median([_timed(lambda: jax.device_get(rtt_fn(x)))
+                         for _ in range(repeats)]))
+
+  t0 = time.time()
+  out = pipeline.spectral_cluster_fixed_k_staged(x, key, cfg)
+  jax.device_get(out[0])
+  print(f"compile+first: {time.time() - t0:.1f}s", flush=True)
+
+  # Non-blocking steady latency first (what the headline reports), then the
+  # blocking per-stage attribution (defeats async pipelining by design).
+  lat = []
+  for _ in range(repeats):
+    t0 = time.time()
+    out = pipeline.spectral_cluster_fixed_k_staged(x, key, cfg)
+    jax.device_get(out[0])
+    lat.append(time.time() - t0)
+  latency = float(np.median(lat))
+
+  per_stage = {}
+  for _ in range(repeats):
+    tm = StageTimings()
+    out = pipeline.spectral_cluster_fixed_k_staged(x, key, cfg, timings=tm)
+    jax.device_get(out[0])
+    for k_, v in tm.as_dict().items():
+      per_stage.setdefault(k_, []).append(v)
+  per_stage = {k_: float(np.median(v)) for k_, v in per_stage.items()}
+  blocking_total = sum(per_stage.values())
+
+  print(f"\nstaged profile N={n} d={d} solver={solver} "
+        f"(medians of {repeats}):")
+  print(f"  pipelined latency : {latency*1e3:9.1f} ms "
+        f"(the headline number)")
+  print(f"  RTT floor         : {rtt*1e3:9.1f} ms per dispatch")
+  for name, t in sorted(per_stage.items(), key=lambda kv: -kv[1]):
+    print(f"  {name:17s} : {t*1e3:9.1f} ms blocking")
+  print(f"  blocking total    : {blocking_total*1e3:9.1f} ms "
+        f"({len(per_stage)} stages x RTT "
+        f"{len(per_stage)*rtt*1e3:.0f} ms floor)")
+
+  # FLOP attribution (same models as the batched profiler; n_clusters=2
+  # fixture -> b = k_cap+1+oversample columns in the subspace panel).
+  from spectralcluster_tpu.types import RefinementName
+  seq = cfg.refinement_options.refinement_sequence or ()
+  flops_prep = 2.0 * n * n * d
+  if RefinementName.Diffuse in seq:
+    flops_prep += 2.0 * n ** 3
+  b_cols = cfg.max_clusters + 1 + 8
+  flops_sub = 2.0 * cfg.subspace_iters * 2 * n * n * b_cols
+  peak = 197e12 / (6 if cfg.matmul_precision == "highest" else
+                   (3 if cfg.matmul_precision == "high" else 1))
+  rows = [("staged_prep", flops_prep)]
+  if "staged_subspace" in per_stage:
+    rows.append(("staged_subspace", flops_sub))
+  for name, fl in rows:
+    t = max(per_stage.get(name, 0.0) - rtt, 1e-9)
+    eff = fl / t
+    print(f"  {name:17s} : {fl/1e9:9.1f} GFLOP  {eff/1e12:7.2f} TFLOP/s  "
+          f"({100.0*eff/peak:5.1f}% of {peak/1e12:.0f} TF/s "
+          f"{cfg.matmul_precision}-precision peak, RTT-corrected)")
+  n_clusters = int(jax.device_get(out[1]))
+  import json
+  print(json.dumps({"n": n, "d": d, "solver": solver,
+                    "latency_s": round(latency, 4),
+                    "rtt_s": round(rtt, 4), "n_clusters": n_clusters,
+                    "stages_ms": {k_: round(v * 1e3, 1)
+                                  for k_, v in per_stage.items()}}),
+        flush=True)
+
+
+def _timed(fn):
+  t0 = time.time()
+  fn()
+  return time.time() - t0
+
+
 if __name__ == "__main__":
-  args = [int(a) for a in sys.argv[1:]]
-  main(*args)
+  if len(sys.argv) > 1 and sys.argv[1] == "staged":
+    staged_main(*[int(a) for a in sys.argv[2:]])
+  else:
+    main(*[int(a) for a in sys.argv[1:]])
