@@ -198,6 +198,23 @@ class TestScratchHarvest:
     assert meta["value"] == 0.0
 
 
+class TestLegScratchStreaming:
+
+  def test_run_leg_streams_samples_to_scratch(self, bench, tmp_path,
+                                              monkeypatch):
+    """The leg writes every completed sample to scratch as it happens —
+    the property the orchestrator's harvest depends on."""
+    import json as _json
+    scratch = tmp_path / "leg.json"
+    out = bench.run_leg(64, "SubspaceIteration", repeats=2,
+                        scratch_path=str(scratch))
+    assert out["latency_s"] > 0
+    assert out["n_clusters"] >= 1
+    payload = _json.loads(scratch.read_text())
+    assert len(payload["samples"]) == 2
+    assert payload["compile_s"] == out["compile_s"]
+
+
 class TestCacheHealing:
 
   def test_purges_truncated_zstd_entries(self, bench, tmp_path, monkeypatch):
