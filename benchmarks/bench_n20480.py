@@ -88,9 +88,11 @@ def main():
       labels[solver] = lab
       print(f"# {solver}: {entry}", file=sys.stderr, flush=True)
     except Exception as e:  # noqa: BLE001 - record the failure mode
+      import traceback
       out[solver] = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
       print(f"# {solver} FAILED: {out[solver]['error']}", file=sys.stderr,
             flush=True)
+      traceback.print_exc()  # names the failing stage program
   if len(labels) == 2:
     a, b = labels.values()
     out["solvers_agree"] = bool(

@@ -27,8 +27,14 @@ bounded by ~6 (N, N) buffers (~2.4 GB at N=10240):
   3. Rayleigh–Ritz: eigh of the (k, k) projected block — a separate, much
      smaller program — then back-transform the t extreme eigenvectors.
      Blocks still larger than ``max_block`` recurse (each level's stages are
-     again memory-bounded); blocks smaller than the requested t eigenpairs
-     eigh densely and recurse on the spectral complement for the remainder.
+     again memory-bounded); when the kept side is SMALLER than the
+     requested t eigenpairs, it is solved densely and the remainder comes
+     from the spectral complement: a complement-basis projection +
+     Rayleigh–Ritz at moderate widths, or — above _PROJECT_SPLIT_K, where
+     that near-(N, N) projection program exceeds the remote compile
+     helper's memory (the N=20480 SIGKILL) — deflation of the solved pairs
+     (rank-t1 update) followed by a certified subspace iteration on the
+     deflated operator, re-verified against the original m (r4).
 
 The result is the t extreme eigenpairs (t = max_clusters + 1, the only ones
 the reference's eigengap scan ever reads, reference utils.py:74-130) with
@@ -318,6 +324,15 @@ def _sign_project(m, n_valid, n, descend, with_nvalid):
 # eigendirection of P (= an exact eigendirection of m, since P = f(m)).
 _PROJECT_ITERS = 6
 
+# Absolute compile wall for a _project_block_jit program's basis width: at
+# (N=20480, k_pad~N) the single program's chunked triangular-solve chains
+# exceed the remote compile helper's memory (SIGKILL — r4 probe). Above
+# this width the driver routes to the certified subspace fallback instead
+# of building the projection program. Deliberately NOT tied to max_block:
+# tests force tiny max_block values to exercise the recursion, and this
+# guard is about one program's compile footprint, not recursion granularity.
+_PROJECT_SPLIT_K = 8192
+
 
 def _solve_tri_chunked(r, rhs, chunk=2048):
   """solve_triangular(r, rhs) with the right-hand side split into column
@@ -499,6 +514,46 @@ def _complement_jit(n: int, with_nvalid: bool):
   return precise_jit(lambda p: run(p, None))
 
 
+@functools.lru_cache(maxsize=64)
+def _deflate_jit(n: int, t1: int):
+  """m' = m - v diag(w - c) v^T: move the t1 already-solved kept-side
+  eigenvalues to ``c`` (past the complement's scan end), so the
+  complement's extreme pairs become the deflated operator's extreme pairs.
+  A rank-t1 update — O(n^2 t1), never an (n, n) basis."""
+
+  def run(m, v, w, c):
+    vs = v * (w - c)[None, :]
+    return m - jnp.matmul(vs, v.T, preferred_element_type=jnp.float32)
+
+  return precise_jit(run)
+
+
+@functools.lru_cache(maxsize=64)
+def _direct_verify_jit(n: int, t_pool: int, t: int, descend: bool):
+  """Re-verify externally-produced eigenpairs against THIS level's m.
+
+  Same filter semantics as _back_transform_jit/_verify_select_jit, for
+  pairs that arrive as explicit (w, v) — used to certify the
+  deflated-operator subspace pairs against the original operator (the
+  deflation leakage through non-orthogonality is exactly what this
+  measures)."""
+
+  def run(m, w, v, scale):
+    mv = jnp.matmul(m, v, preferred_element_type=jnp.float32)
+    res_all = jnp.linalg.norm(mv - v * w[None, :], axis=0)
+    vnorm = jnp.linalg.norm(v, axis=0)
+    good = (res_all <= _SPURIOUS_TOL * scale) & (vnorm > 0.5)
+    big = 10.0 * jnp.maximum(jnp.max(jnp.abs(w)), scale) + 1.0
+    sort_val = jnp.where(good, w, -big if descend else big)
+    order = jnp.argsort(-sort_val if descend else sort_val, stable=True)
+    idx = order[:t]
+    res = jnp.max(
+        jnp.where(vnorm[idx] > 0.5, res_all[idx], jnp.inf)) / scale
+    return w[idx], v[:, idx], res
+
+  return precise_jit(run)
+
+
 # ---------------------------------------------------------------------------
 # Host-staged driver.
 # ---------------------------------------------------------------------------
@@ -531,6 +586,20 @@ def eigh_topk_dc(
   recursion: all residual certificates are absolute, O(eps * ||M_original||)
   — the accuracy class a dense eigensolver promises. Raises RuntimeError if
   the certified residual indicates an actual failure.
+
+  Accuracy contract above _PROJECT_SPLIT_K (r4): when the mean split keeps
+  fewer than t eigenvalues AND the complement projection would exceed the
+  compile wall, the remainder pairs come from deflation + certified
+  subspace iteration. Each returned pair then satisfies the residual
+  certificate (it IS an eigenpair of m to ~1e-6 * ||m||), but the
+  ORDERING within a spectral cluster tighter than the iteration's
+  resolving power is not guaranteed — a deeper cluster member can stand in
+  for a shallower one. Harmless when the bulk is far from the eigengap
+  scan's decision thresholds (record-size refined affinities put the bulk
+  orders of magnitude below stop_eigenvalue — measured 9 decades at
+  N=2048), but spectra with bulk eigenvalues AT the stop_eigenvalue scale
+  can report a different cluster count than an exact solver. Below the
+  wall the Ritz-over-complete-complement path retains exact semantics.
   """
   n = m.shape[0]
   t = min(t, n if n_valid is None else int(n_valid))
@@ -587,6 +656,11 @@ def eigh_topk_dc(
   if k_est >= t + 8:
     # Common case: the kept-side block covers the t requested eigenpairs.
     k_pad = _bucket(k_cover)
+    if k_pad > _PROJECT_SPLIT_K:
+      # A projection program this wide breaks the remote compile helper
+      # (see _PROJECT_SPLIT_K); balanced giant spectra go to the certified
+      # iterative solver instead.
+      return _subspace_fallback(m, t, key_rec, descend, n_valid, scale)
     q, mq, a1, k_eff = _project_block_jit(n, k_pad, descend)(m, p, k_cover,
                                                              key_basis)
     k_eff = int(jax.device_get(k_eff))
@@ -605,8 +679,11 @@ def eigh_topk_dc(
     return w, v, res, scale
 
   # The kept-side block is too small to cover all t requested eigenpairs:
-  # solve it fully, then recurse on the spectral complement for the rest.
+  # solve it fully, deflate the solved pairs, and take the remainder from a
+  # certified subspace iteration on the deflated operator.
   k_pad = _bucket(k_cover)
+  if k_pad > _PROJECT_SPLIT_K:
+    return _subspace_fallback(m, t, key_rec, descend, n_valid, scale)
   q, mq, a1, k_eff = _project_block_jit(n, k_pad, descend)(m, p, k_cover,
                                                            key_basis)
   k_eff = int(jax.device_get(k_eff))
@@ -623,28 +700,63 @@ def eigh_topk_dc(
   if t_rem == 0:
     _check_residual(res1)
     return wt1, vt1, res1, scale
+
   comp_fn = _complement_jit(n, with_nvalid)
   pc, kc_f = comp_fn(p, n_valid) if with_nvalid else comp_fn(p)
   kc_est = max(t_rem, min(int(round(float(jax.device_get(kc_f)))), nv - 1))
   kc_cover = min(kc_est + margin, nv)
   kc_pad = _bucket(kc_cover)
-  qc, mqc, a2, kc_eff = _project_block_jit(n, kc_pad, descend)(m, pc,
-                                                               kc_cover,
-                                                               key_comp)
-  kc_eff = int(jax.device_get(kc_eff))
-  _debug(f"depth={_depth} complement-block: kc_est={kc_est} "
-         f"kc_cover={kc_cover} kc_pad={kc_pad} kc_eff={kc_eff} t1={t1}")
-  if kc_eff == 0:
-    return _subspace_fallback(m, t, key_rec2, descend, n_valid, scale)
-  # Request extra pairs so the merge still has t candidates after dedup
-  # removes boundary modes captured by both blocks.
-  t2 = max(t_rem, min(t_rem + _MERGE_EXTRA, kc_eff))
-  w2, v2, res2 = _topt_of_block(a2, m, qc, mqc, t2, key_rec2, descend,
-                                kc_eff, kc_pad, max_block, _depth, scale)
-  # Merge: drop complement pairs duplicating a kept-side eigendirection
-  # (overlapping keep bands can capture a boundary mode in both blocks),
-  # then re-sort — values within the boundary fuzz of sigma can interleave
-  # across the two blocks.
+  if kc_pad > _PROJECT_SPLIT_K:
+    # The spectral complement of a small kept side is nearly
+    # full-dimensional: projecting it would compile a (n, ~n)
+    # _project_block_jit program — the single program that exceeds the
+    # remote compile helper's memory at N=20480 (SIGKILL; the failure mode
+    # BASELINE.md r3 attributed to the sign chain — r4 probing isolated it
+    # here) and whose (N, N) CholeskyQR dominated the N=10240 route's
+    # measured 8.18 s. Above the wall, DEFLATE instead: move the t1 solved
+    # pairs to the far end of the spectrum (rank-t1 update) and take the
+    # remainder from the certified subspace iteration on the deflated
+    # operator, re-verified against the ORIGINAL m (deflation leakage
+    # shows up as residual). Accuracy class: certified residual — below
+    # the wall the exact Ritz-over-complete-basis path keeps running.
+    c_far = (sigma - alpha) if descend else (sigma + alpha)
+    md = _deflate_jit(n, t1)(m, vt1, wt1, jnp.float32(c_far))
+    t2 = t_rem + _MERGE_EXTRA
+    _debug(f"depth={_depth} deflated-remainder: t1={t1} t_rem={t_rem} "
+           f"t2={t2} c_far={c_far:.3e}")
+    w2p, v2p, _, _ = _subspace_fallback(
+        md, t2, key_comp, descend, n_valid, scale,
+        norm_bound=abs(sigma) + alpha)
+    w2, v2, res2j = _direct_verify_jit(n, t2, t2, descend)(
+        m, w2p, v2p, jnp.float32(scale))
+    res2 = float(jax.device_get(res2j))
+    if os.environ.get("SCT_DC_DEBUG") == "1":
+      _debug(f"depth={_depth} deflated pairs w2p="
+             f"{np.array2string(np.asarray(jax.device_get(w2p)), precision=3)} "
+             f"vnorm={np.array2string(np.linalg.norm(np.asarray(jax.device_get(v2p)), axis=0), precision=3)} "
+             f"res2={res2:.3e}")
+  else:
+    # Moderate sizes: orthonormal basis for the complement subspace +
+    # Rayleigh–Ritz — exact separation within the span (tight spectral
+    # clusters resolve to eigh accuracy, which the deflated-subspace route
+    # cannot promise).
+    qc, mqc, a2, kc_eff = _project_block_jit(n, kc_pad, descend)(m, pc,
+                                                                 kc_cover,
+                                                                 key_comp)
+    kc_eff = int(jax.device_get(kc_eff))
+    _debug(f"depth={_depth} complement-block: kc_est={kc_est} "
+           f"kc_cover={kc_cover} kc_pad={kc_pad} kc_eff={kc_eff} t1={t1}")
+    if kc_eff == 0:
+      return _subspace_fallback(m, t, key_rec2, descend, n_valid, scale)
+    # Request extra pairs so the merge still has t candidates after dedup
+    # removes boundary modes captured by both blocks.
+    t2 = max(t_rem, min(t_rem + _MERGE_EXTRA, kc_eff))
+    w2, v2, res2 = _topt_of_block(a2, m, qc, mqc, t2, key_rec2, descend,
+                                  kc_eff, kc_pad, max_block, _depth, scale)
+  # Merge: drop complement/remainder pairs duplicating a kept-side
+  # eigendirection (overlapping keep bands — or deflation leakage — can
+  # capture a boundary mode in both sets), then re-sort — values within
+  # the boundary fuzz of sigma can interleave across the two sets.
   wt, vt = _merge_dedup_jit(n, t, t1, t2, descend)(wt1, w2, vt1, v2)
   res = max(res1, res2)
   _check_residual(res)
@@ -705,12 +817,13 @@ def _verify_select_jit(n: int, k_pad: int, t_pool: int, t: int,
 
 @functools.lru_cache(maxsize=64)
 def _merge_dedup_jit(n: int, t: int, t1: int, t2: int, descend: bool):
-  """Merge kept-side and complement Ritz pairs into the t extreme ones.
+  """Merge kept-side and deflated-remainder Ritz pairs into the t extreme.
 
-  The overlapping keep bands (see _project_block_jit) can capture a boundary
-  eigendirection in BOTH blocks; both copies are genuine eigenpairs of the
-  same direction, so keeping both would displace the t-th distinct pair.
-  A complement pair whose unit eigenvector overlaps any kept-side
+  A boundary eigendirection (non-converged sign at the split point) can be
+  captured by the kept-side basis AND re-found by the deflated-remainder
+  search if the deflation missed it; both copies are genuine eigenpairs of
+  the same direction, so keeping both would displace the t-th distinct
+  pair. A remainder pair whose unit eigenvector overlaps any kept-side
   eigenvector by > _DEDUP_OVERLAP is pushed past the scan end before the
   top-t selection.
   """
@@ -745,12 +858,19 @@ def _subspace_jit(n: int, t: int, descend: bool, with_nvalid: bool):
   coordinates become exact zero modes, below every shifted valid eigenvalue.
   """
 
-  def run(m, n_valid, key):
+  def run(m, n_valid, key, norm_bound):
     idx = jnp.arange(n)
     valid = (idx < n_valid) if with_nvalid else jnp.ones((n,), bool)
     keep = valid[:, None] & valid[None, :]
     mm = jnp.where(keep, m, 0.0)
-    b = jnp.max(jnp.sum(jnp.abs(mm), axis=1)) + 1.0
+    # Positivizing shift: any upper bound on ||mm||_2 works, and TIGHTER is
+    # MORE ACCURATE — the iteration's residual gate is relative to the
+    # shifted spectrum's scale, so an inflated b loosens the absolute
+    # eigenvalue accuracy. The deflated-remainder caller passes an analytic
+    # bound (|sigma| + alpha covers both the original spectrum and the
+    # deflation target) because the deflation's dense rank-t1 rows inflate
+    # the Gershgorin bound far past the true norm.
+    b = jnp.minimum(jnp.max(jnp.sum(jnp.abs(mm), axis=1)), norm_bound) + 1.0
     vdiag = jnp.where(valid, 1.0, 0.0)
     op = (mm + b * jnp.diag(vdiag)) if descend else (b * jnp.diag(vdiag) - mm)
     w_s, v = eigen_ops.topk_eigh_subspace(
@@ -764,14 +884,17 @@ def _subspace_jit(n: int, t: int, descend: bool, with_nvalid: bool):
 
   if with_nvalid:
     return precise_jit(run)
-  return precise_jit(lambda m, key: run(m, None, key))
+  return precise_jit(lambda m, key, norm_bound: run(m, None, key, norm_bound))
 
 
-def _subspace_fallback(m, t, key, descend, n_valid, scale=None):
+def _subspace_fallback(m, t, key, descend, n_valid, scale=None,
+                       norm_bound=None):
   n = m.shape[0]
   with_nvalid = n_valid is not None
+  nb = jnp.float32(np.inf if norm_bound is None else norm_bound)
   fn = _subspace_jit(n, t, descend, with_nvalid)
-  w, v, res_abs, b = fn(m, n_valid, key) if with_nvalid else fn(m, key)
+  w, v, res_abs, b = (fn(m, n_valid, key, nb) if with_nvalid
+                      else fn(m, key, nb))
   res_abs, b = float(jax.device_get(res_abs)), float(jax.device_get(b))
   scale = scale if scale is not None else max(b, 1e-30)
   res = res_abs / scale
