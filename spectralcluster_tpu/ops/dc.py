@@ -661,9 +661,8 @@ def eigh_topk_dc(
       # (see _PROJECT_SPLIT_K); balanced giant spectra go to the certified
       # iterative solver instead.
       return _subspace_fallback(m, t, key_rec, descend, n_valid, scale)
-    q, mq, a1, k_eff = _project_block_jit(n, k_pad, descend)(m, p, k_cover,
-                                                             key_basis)
-    k_eff = int(jax.device_get(k_eff))
+    q, mq, a1, k_eff = _project_with_retry(n, k_pad, descend, m, p, k_cover,
+                                           key_basis, t, _depth)
     _debug(f"depth={_depth} kept-covers-t: k_est={k_est} margin={margin} "
            f"k_cover={k_cover} k_pad={k_pad} k_eff={k_eff}")
     if k_eff < t:
@@ -684,9 +683,8 @@ def eigh_topk_dc(
   k_pad = _bucket(k_cover)
   if k_pad > _PROJECT_SPLIT_K:
     return _subspace_fallback(m, t, key_rec, descend, n_valid, scale)
-  q, mq, a1, k_eff = _project_block_jit(n, k_pad, descend)(m, p, k_cover,
-                                                           key_basis)
-  k_eff = int(jax.device_get(k_eff))
+  q, mq, a1, k_eff = _project_with_retry(n, k_pad, descend, m, p, k_cover,
+                                         key_basis, min(k_est, t), _depth)
   _debug(f"depth={_depth} complement-split: k_est={k_est} margin={margin} "
          f"k_cover={k_cover} k_pad={k_pad} k_eff={k_eff}")
   if k_eff == 0:
@@ -757,10 +755,40 @@ def eigh_topk_dc(
   # eigendirection (overlapping keep bands — or deflation leakage — can
   # capture a boundary mode in both sets), then re-sort — values within
   # the boundary fuzz of sigma can interleave across the two sets.
-  wt, vt = _merge_dedup_jit(n, t, t1, t2, descend)(wt1, w2, vt1, v2)
   res = max(res1, res2)
+  if not np.isfinite(res) or res > _FAIL_RESIDUAL:
+    # One side of the split degraded (observed on-chip at N=20480: the
+    # kept-side capture produced a non-verifying pair while the remainder
+    # certified cleanly). The whole-block certified fallback re-solves
+    # from scratch and re-certifies — only ITS failure is terminal.
+    _debug(f"depth={_depth} split degraded (res1={res1:.3e} "
+           f"res2={res2:.3e}); whole-block certified fallback")
+    return _subspace_fallback(m, t, key_rec2, descend, n_valid, scale)
+  wt, vt = _merge_dedup_jit(n, t, t1, t2, descend)(wt1, w2, vt1, v2)
   _check_residual(res)
   return wt, vt, res, scale
+
+
+def _project_with_retry(n, k_pad, descend, m, p, k_cover, key, want, depth):
+  """Randomized range capture with one redraw on degradation.
+
+  Observed on-chip at N=20480: an ill-conditioned random panel through a
+  rank-2 projector left k_eff=1 with a contaminated survivor (caught later
+  as res=inf). A single fresh-key redraw is ~1 s at N=20480 — cheap
+  insurance against an unlucky draw; a genuine rank shortfall fails both
+  draws and is handled by the caller's fallback routing.
+  """
+  fn = _project_block_jit(n, k_pad, descend)
+  q, mq, a1, k_eff = fn(m, p, k_cover, key)
+  k_eff = int(jax.device_get(k_eff))
+  if k_eff < want:
+    _debug(f"depth={depth} capture degraded (k_eff={k_eff} < want={want}); "
+           "redrawing panel")
+    q2, mq2, a12, k2 = fn(m, p, k_cover, jax.random.fold_in(key, 1))
+    k2 = int(jax.device_get(k2))
+    if k2 > k_eff:
+      return q2, mq2, a12, k2
+  return q, mq, a1, k_eff
 
 
 def _topt_of_block(a1, m, q, mq, t, key, descend, k_use, k_pad, max_block,
