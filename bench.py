@@ -459,27 +459,27 @@ def main():
         break
 
   # ---- Exact-parity full_eigh ladder (VERDICT r3 item 1) ----
-  # Bank N=4096 (the "done" bar) before gambling the target, then retry
-  # the target once: stage programs compiled by a timed-out first attempt
-  # persist in .jax_cache, so the retry resumes compilation mid-ladder.
+  # TARGET-FIRST (r4, measured): the staged D&C route at N=10240 cold-
+  # compiles in ~85 s (sign chain + small programs — no large eigh
+  # program), while the N<=8192 full-eigh rungs cost 185-294 s cold
+  # REGARDLESS of monolithic-vs-staged packaging (the eigh program itself
+  # dominates). So gamble the cheap-to-compile target first (with one
+  # cache-resume retry), and only then degrade to the 4096/2048 rungs —
+  # whose programs today's runs left in .jax_cache.
   for solver in solvers[1:]:
     tag = solver or "full_eigh"
     tgt = banked(htag) or n_target
-    ins = max((n for n in sizes if n <= 4096 and n < tgt), default=None)
-    if ins is not None:
-      attempt(solver, tag, ins,
-              cap=min(200.0, _remaining(deadline_s) - _MIN_LEG_S))
-    if tgt > banked(tag):
-      for _try in range(2):
-        if attempt(solver, tag, tgt, cap=_remaining(deadline_s)) is not None:
-          break
+    for _try in range(2):
+      if attempt(solver, tag, tgt,
+                 cap=_remaining(deadline_s) - _MIN_LEG_S) is not None:
+        break
     if not measured.get(tag):
-      # Nothing banked at all for this solver: one cheap fallback rung.
-      fallback = max((n for n in sizes if n <= 2048 and (ins is None
-                                                         or n < ins)),
-                     default=None)
-      if fallback is not None:
-        attempt(solver, tag, fallback, cap=_remaining(deadline_s))
+      # Target did not land: bank a smaller exact-parity rung.
+      for n in (4096, 2048, 1024):
+        if n >= tgt:
+          continue
+        if attempt(solver, tag, n, cap=_remaining(deadline_s)) is not None:
+          break
 
   # ---- Assemble the record ----
   extras = {}
