@@ -348,6 +348,35 @@ def _solve_tri_chunked(r, rhs, chunk=2048):
   return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
 
+# Panels at or below this width orthonormalize with a thin Householder QR
+# instead of shift-stabilized CholeskyQR2. QR cannot break down: on-chip at
+# N=20480 the CholQR2's breakdown NaN-zeroing deterministically destroyed
+# one of a rank-2 projector's two directions for most PRNG keys (caught by
+# the res=inf certificate and rescued, but at the cost of a wasted split).
+# A thin (N, <=512) QR is one Householder panel — none of the (2N, N)
+# blocked-QR compile/HBM pathology that motivated CholQR2 for WIDE panels,
+# which still use CholQR2 (their shapes only arise below _PROJECT_SPLIT_K).
+_QR_PANEL_MAX = 512
+
+
+def _orth_qr(y, col_ok):
+  """Thin-QR orthonormalization with rank masking.
+
+  Rank-surplus columns (|r_ii| at the float32 noise floor) and padding
+  columns are zeroed exactly — they'd otherwise come out of QR as
+  amplified-noise directions with unit norm. Handles n < k_pad (reduced QR
+  returns min(n, k_pad) columns; the rest are restored as zeros).
+  """
+  k_pad = y.shape[1]
+  q, r = jnp.linalg.qr(y)
+  rd = jnp.abs(jnp.diag(r))                      # (min(n, k_pad),)
+  ok = rd > 1e-5 * jnp.max(rd)
+  q = q * ok[None, :].astype(q.dtype)
+  if q.shape[1] < k_pad:
+    q = jnp.pad(q, ((0, 0), (0, k_pad - q.shape[1])))
+  return q * (col_ok > 0)[None, :].astype(q.dtype)
+
+
 def _cholqr2_shifted(y, k_pad, col_ok):
   """Shift-stabilized CholeskyQR2: orthonormalize possibly rank-deficient y.
 
@@ -413,13 +442,17 @@ def _project_block_jit(n: int, k_pad: int, descend: bool):
     g = jax.random.normal(key, (n, k_pad), dtype=m.dtype)
     col_ok = (jnp.arange(k_pad) < k).astype(m.dtype)
     y = jnp.matmul(p, g, preferred_element_type=jnp.float32) * col_ok[None, :]
+    if k_pad <= _QR_PANEL_MAX:
+      orth = lambda y: _orth_qr(y, col_ok)  # noqa: E731
+    else:
+      orth = lambda y: _cholqr2_shifted(y, k_pad, col_ok)  # noqa: E731
 
     def proj_step(_, y):
-      q = _cholqr2_shifted(y, k_pad, col_ok)
+      q = orth(y)
       return jnp.matmul(p, q, preferred_element_type=jnp.float32)
 
     y = jax.lax.fori_loop(0, _PROJECT_ITERS, proj_step, y)
-    q = _cholqr2_shifted(y, k_pad, col_ok)
+    q = orth(y)
     keep = jnp.linalg.norm(q, axis=0) > 0.5
     k_eff = jnp.sum(keep).astype(jnp.int32)
     # Compact kept columns to the front so padding stays a suffix.

@@ -128,6 +128,16 @@ class TestEighTopkDC:
     _check(a)
     _check(a, descend=False)
 
+  def test_cholqr2_wide_panel_path(self, monkeypatch):
+    # Panels wider than _QR_PANEL_MAX use matmul-only CholQR2; force that
+    # path at test sizes so it keeps coverage now that small panels take
+    # the breakdown-proof thin QR.
+    monkeypatch.setattr(dc, "_QR_PANEL_MAX", 0)
+    n = 512
+    eigs = np.concatenate([[260.0, 250.0], _RNG.randn(n - 2) * 0.5])
+    _check(_make_sym(n, eigs))
+    _check(_make_sym(n, np.linspace(-5, 5, n)))
+
   def test_degenerate_cluster_at_mean(self):
     # A 112-fold degenerate cluster exactly at the split point: boundary
     # mass forces the oversampled basis margin; deeper levels with a >max
