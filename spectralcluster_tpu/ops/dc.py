@@ -113,6 +113,21 @@ _SIGN_QUINTIC_STEPS = 8
 _SIGN_NS_STEPS = 5
 
 
+def _sign_precision() -> str:
+  """Matmul precision for the sign-chain steps (read at TRACE time).
+
+  The 31-matmul sign chain is the D&C route's FLOP floor (~17 s at
+  N=20480, ~2 s at N=10240 at "highest" = 6-pass bf16). The iteration is
+  self-correcting and every downstream certificate (margins from the
+  measured boundary mass, Ritz residuals vs the original operand at
+  highest precision) bounds the damage of a lower-precision sign, so
+  SCT_DC_SIGN_PRECISION=high (3-pass) halves the chain's cost as an
+  opt-in. Default stays exact. NOTE: per-shape step programs are traced
+  once per process — set the env var before the first call.
+  """
+  return os.environ.get("SCT_DC_SIGN_PRECISION", "highest")
+
+
 def quintic_step(x: jnp.ndarray) -> jnp.ndarray:
   """One overshoot-bounded quintic sign step: x <- x (aI + b x^2 + c x^4).
 
@@ -123,18 +138,21 @@ def quintic_step(x: jnp.ndarray) -> jnp.ndarray:
   """
   a, b, c = _QUINTIC
   eye = jnp.eye(x.shape[0], dtype=x.dtype)
-  x2 = jnp.matmul(x, x, preferred_element_type=jnp.float32)
-  x4 = jnp.matmul(x2, x2, preferred_element_type=jnp.float32)
-  poly = a * eye + b * x2 + c * x4
-  x = jnp.matmul(x, poly, preferred_element_type=jnp.float32)
+  with jax.default_matmul_precision(_sign_precision()):
+    x2 = jnp.matmul(x, x, preferred_element_type=jnp.float32)
+    x4 = jnp.matmul(x2, x2, preferred_element_type=jnp.float32)
+    poly = a * eye + b * x2 + c * x4
+    x = jnp.matmul(x, poly, preferred_element_type=jnp.float32)
   return 0.5 * (x + x.T)
 
 
 def ns_step(x: jnp.ndarray) -> jnp.ndarray:
   """One cubic Newton–Schulz polish step: x <- 1.5 x - 0.5 x^3 (shared
   between the monolithic and host-staged sign paths, see quintic_step)."""
-  x2 = jnp.matmul(x, x, preferred_element_type=jnp.float32)
-  x = 1.5 * x - 0.5 * jnp.matmul(x, x2, preferred_element_type=jnp.float32)
+  with jax.default_matmul_precision(_sign_precision()):
+    x2 = jnp.matmul(x, x, preferred_element_type=jnp.float32)
+    x = 1.5 * x - 0.5 * jnp.matmul(x, x2,
+                                   preferred_element_type=jnp.float32)
   return 0.5 * (x + x.T)
 
 
