@@ -116,16 +116,20 @@ _SIGN_NS_STEPS = 5
 def _sign_precision() -> str:
   """Matmul precision for the sign-chain steps (read at TRACE time).
 
-  The 31-matmul sign chain is the D&C route's FLOP floor (~17 s at
-  N=20480, ~2 s at N=10240 at "highest" = 6-pass bf16). The iteration is
-  self-correcting and every downstream certificate (margins from the
-  measured boundary mass, Ritz residuals vs the original operand at
-  highest precision) bounds the damage of a lower-precision sign, so
-  SCT_DC_SIGN_PRECISION=high (3-pass) halves the chain's cost as an
-  opt-in. Default stays exact. NOTE: per-shape step programs are traced
-  once per process — set the env var before the first call.
+  The 31-matmul sign chain is the D&C route's FLOP floor. The sign only
+  DECIDES the split and the captured subspace — every accuracy-bearing
+  quantity (Ritz values, residual certificates vs the original operand,
+  the deflated-remainder solve) is computed at "highest" regardless, and
+  the margins adapt to the measured boundary mass. Running the chain at
+  "high" (3-pass bf16) therefore halves its cost without touching the
+  certificate: measured on-chip (r4) N=10240 2.83 s -> 1.67 s and
+  N=20480 21.98 s -> 11.68 s, label parity and ground-truth match intact,
+  remainder residuals ~1e-6 in both modes. Default "high";
+  SCT_DC_SIGN_PRECISION=highest restores the 6-pass chain. NOTE:
+  per-shape step programs are traced once per process — set the env var
+  before the first call.
   """
-  return os.environ.get("SCT_DC_SIGN_PRECISION", "highest")
+  return os.environ.get("SCT_DC_SIGN_PRECISION", "high")
 
 
 def quintic_step(x: jnp.ndarray) -> jnp.ndarray:
