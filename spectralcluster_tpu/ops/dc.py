@@ -450,14 +450,16 @@ def _project_block_jit(n: int, k_pad: int, descend: bool):
   in _merge_dedup_jit.
 
   One column class IS dropped: when the requested width k exceeds the
-  basis's numerical rank, the surplus columns come out of the shifted
-  CholeskyQR at norm ~eps/sqrt(delta) ~ 1e-4 instead of 1 (the shift
-  under-normalizes directions below its floor). Left in place they make a1
-  near-zero rows INSIDE the valid block — spurious zero eigenvalues that
-  flood an ascending scan's bottom-t. The norm test is sound where the s2
-  test was not: a near-zero column carries at most O(1e-4) of ANY direction
-  (measured bimodal: genuine/boundary columns at ~1.0, surplus at <1e-4),
-  so dropping it cannot partially capture anything.
+  basis's numerical rank, the surplus columns are rank-masked to exact
+  zeros — by the |diag(R)| test of the thin-QR orthonormalizer for panels
+  <= _QR_PANEL_MAX (r4; breakdown-proof — the CholQR2 NaN-zeroing could
+  destroy genuine directions at N=20480), or by coming out of the shifted
+  CholeskyQR at norm ~eps/sqrt(delta) ~ 1e-4 for wide panels. Left in
+  place they make a1 near-zero rows INSIDE the valid block — spurious
+  zero eigenvalues that flood an ascending scan's bottom-t. The norm test
+  is sound where the s2 test was not: a dropped column carries at most
+  O(1e-4) of ANY direction (zero exactly, for the QR variant), so
+  dropping it cannot partially capture anything.
   """
 
   def run(m, p, k, key):
