@@ -390,7 +390,10 @@ def main():
   htag = headline_solver or "full_eigh"
   # Budget held back for the exact-parity ladder while the headline solver
   # is still climbing (nothing is held back once it's full_eigh's turn).
-  exact_reserve = _EXACT_RESERVE_S if len(solvers) > 1 else 0.0
+  # Capped at 35% of the whole budget so a tight deadline still attempts
+  # the headline solver instead of reserving everything for full_eigh.
+  exact_reserve = (min(_EXACT_RESERVE_S, 0.35 * (deadline_s - _RESERVE_S))
+                   if len(solvers) > 1 else 0.0)
   attempts = {}   # tag -> {"N{n}": failure/skip note}
   measured = {}   # tag -> {n: entry}
 

@@ -154,6 +154,25 @@ class TestInsuranceFirst:
     assert "full_eigh" in meta["metric"]
 
 
+class TestTightBudget:
+
+  def test_tight_deadline_still_attempts_headline(self, bench, capsys,
+                                                  monkeypatch):
+    """A deadline smaller than the nominal exact-parity reserve must not
+    starve the headline solver (the reserve scales with the budget)."""
+    monkeypatch.setenv("SCT_BENCH_DEADLINE_S", "200")
+    calls = []
+
+    def stub(n, solver, timeout_s, tag=None):
+      calls.append((n, solver))
+      return dict(_entry()), None
+
+    monkeypatch.setattr(bench, "run_leg_subprocess", stub)
+    meta = _run_main(bench, capsys)
+    assert any(s == "SubspaceIteration" and n == 10240 for n, s in calls)
+    assert meta["value"] > 0
+
+
 class TestScratchHarvest:
 
   def test_partial_measurement_survives_leg_timeout(self, bench, capsys,
