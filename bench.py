@@ -471,7 +471,11 @@ def main():
   # whose programs today's runs left in .jax_cache.
   for solver in solvers[1:]:
     tag = solver or "full_eigh"
-    tgt = banked(htag) or n_target
+    # Always aim at the true target: the exact-parity result at N_target
+    # is the point of this ladder (VERDICT r3 item 1), and its staged D&C
+    # programs compile FASTER than small-N monoliths — a headline-solver
+    # failure at the target says little about this route's chances.
+    tgt = n_target
     for _try in range(2):
       if attempt(solver, tag, tgt,
                  cap=_remaining(deadline_s) - _MIN_LEG_S) is not None:
@@ -483,6 +487,21 @@ def main():
           continue
         if attempt(solver, tag, n, cap=_remaining(deadline_s)) is not None:
           break
+
+  # ---- Final headline pass ----
+  # If the headline solver still has nothing banked but budget remains
+  # (the exact-parity reserve is released now), walk its ladder once more:
+  # a congested tunnel window earlier in the run may have cleared, and
+  # .jax_cache holds whatever the failed attempts partially compiled.
+  if not measured.get(htag):
+    for n in (4096, 2048, 1024):
+      if n > n_target:
+        continue
+      if _remaining(deadline_s) < _MIN_LEG_S:
+        break
+      if attempt(headline_solver, htag, n,
+                 cap=_remaining(deadline_s)) is not None:
+        break
 
   # ---- Assemble the record ----
   extras = {}
@@ -502,17 +521,19 @@ def main():
     elif attempts.get(tag):
       extras[tag] = {"attempts": attempts[tag]}
 
-  # The headline is the headline solver's largest banked rung; if that
-  # solver banked nothing, any other solver's banked rung beats an empty
-  # record.
+  # The headline is the strongest banked measurement across solvers:
+  # largest N first (the metric is size-anchored), then the headline
+  # solver at that N (it is the faster algorithm class), then speedup. A
+  # small degraded rung of the nominal headline solver must not outrank a
+  # full-size result another solver delivered.
   headline_tag = None
-  if measured.get(htag):
-    headline_tag = htag
-  else:
-    for tag in (s or "full_eigh" for s in solvers[1:]):
-      if measured.get(tag):
-        headline_tag = tag
-        break
+  best_key = None
+  for tag, entry in extras.items():
+    if "n" not in entry:
+      continue
+    key = (entry["n"], 1 if tag == htag else 0, entry["speedup"])
+    if best_key is None or key > best_key:
+      best_key, headline_tag = key, tag
 
   if headline_tag is None:
     print(json.dumps({"metric": f"icassp2018_e2e_speedup_vs_numpy_N{n_target}",

@@ -118,8 +118,12 @@ class TestInsuranceFirst:
     monkeypatch.setattr(bench, "run_leg_subprocess", stub)
     meta = _run_main(bench, capsys)
     assert meta["value"] > 0
-    assert "N4096" in meta["metric"]
+    # The ladder walked and banked SubspaceIteration@4096...
     assert (4096, "SubspaceIteration") in calls
+    assert meta["solvers"]["SubspaceIteration"]["n"] == 4096
+    # ...and the exact-parity ladder still aimed at (and landed) the true
+    # target, which headlines as the largest-N measurement.
+    assert "N10240_full_eigh" in meta["metric"]
 
   def test_full_eigh_ladder_banks_insurance_on_target_timeout(
       self, bench, capsys, monkeypatch):
@@ -152,6 +156,37 @@ class TestInsuranceFirst:
     meta = _run_main(bench, capsys)
     assert meta["value"] > 0
     assert "full_eigh" in meta["metric"]
+
+  def test_large_cross_solver_result_outranks_small_headline_rung(
+      self, bench, capsys, monkeypatch):
+    """A full-size full_eigh result must headline over a tiny degraded
+    rung of the nominal headline solver (largest-N-first selection)."""
+    def stub(n, solver, timeout_s, tag=None):
+      if solver == "SubspaceIteration" and n > 1024:
+        return None, f"timeout after {timeout_s:.0f}s"
+      return dict(_entry()), None
+
+    monkeypatch.setattr(bench, "run_leg_subprocess", stub)
+    meta = _run_main(bench, capsys)
+    assert "N10240_full_eigh" in meta["metric"]
+    # The headline solver's salvaged small rung is still in the record.
+    assert meta["solvers"]["SubspaceIteration"]["n"] == 1024
+
+  def test_final_pass_salvages_headline_after_reserve_release(
+      self, bench, capsys, monkeypatch):
+    """When the pre-full_eigh ladder was budget-skipped, the final pass
+    (reserve released) retries the headline solver's small rungs."""
+    calls = []
+
+    def stub(n, solver, timeout_s, tag=None):
+      calls.append((n, solver, round(timeout_s)))
+      if solver == "SubspaceIteration" and n > 1024:
+        return None, f"timeout after {timeout_s:.0f}s"
+      return dict(_entry()), None
+
+    monkeypatch.setattr(bench, "run_leg_subprocess", stub)
+    _run_main(bench, capsys)
+    assert (1024, "SubspaceIteration") in [(n, s) for n, s, _ in calls]
 
 
 class TestTightBudget:
