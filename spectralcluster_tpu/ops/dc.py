@@ -786,10 +786,11 @@ def eigh_topk_dc(
         m, w2p, v2p, jnp.float32(scale))
     res2 = float(jax.device_get(res2j))
     if os.environ.get("SCT_DC_DEBUG") == "1":
-      _debug(f"depth={_depth} deflated pairs w2p="
-             f"{np.array2string(np.asarray(jax.device_get(w2p)), precision=3)} "
-             f"vnorm={np.array2string(np.linalg.norm(np.asarray(jax.device_get(v2p)), axis=0), precision=3)} "
-             f"res2={res2:.3e}")
+      w2h = np.asarray(jax.device_get(w2p))
+      vn = np.linalg.norm(np.asarray(jax.device_get(v2p)), axis=0)
+      _debug(f"depth={_depth} deflated pairs "
+             f"w2p={np.array2string(w2h, precision=3)} "
+             f"vnorm={np.array2string(vn, precision=3)} res2={res2:.3e}")
   else:
     # Moderate sizes: orthonormal basis for the complement subspace +
     # Rayleigh–Ritz — exact separation within the span (tight spectral
