@@ -128,6 +128,38 @@ class TestEighTopkDC:
     _check(a)
     _check(a, descend=False)
 
+  def test_capture_retry_redraws_degraded_panel(self, monkeypatch):
+    # On-chip at N=20480 a degraded random panel captured fewer directions
+    # than the projector holds; the driver must redraw once and use the
+    # better draw. Simulate: first draw loses its columns, second is real.
+    n = 256
+    eigs = np.concatenate([np.linspace(2.0, 3.0, 64),
+                           np.linspace(0.0, 0.1, n - 64)])
+    a = _make_sym(n, eigs)
+    orig = dc._project_block_jit
+    state = {"calls": 0}
+
+    def stub(n_, k_pad, descend):
+      real = orig(n_, k_pad, descend)
+
+      def run(mm, p, k, key):
+        state["calls"] += 1
+        q, mq, a1, k_eff = real(mm, p, k, key)
+        if state["calls"] == 1:  # degrade only the first draw
+          return (jnp.zeros_like(q), jnp.zeros_like(mq), a1, jnp.int32(0))
+        return q, mq, a1, k_eff
+
+      return run
+
+    monkeypatch.setattr(dc, "_project_block_jit", stub)
+    w, v, res, _ = dc.eigh_topk_dc(
+        jnp.asarray(a.astype(np.float32)), 8, jax.random.PRNGKey(0),
+        max_block=128)
+    assert state["calls"] >= 2  # the redraw happened
+    ref = np.linalg.eigh(a.astype(np.float64))[0][::-1][:8]
+    np.testing.assert_allclose(np.asarray(w), ref, atol=1e-3 * ref[0])
+    assert res < 5e-3
+
   def test_cholqr2_wide_panel_path(self, monkeypatch):
     # Panels wider than _QR_PANEL_MAX use matmul-only CholQR2; force that
     # path at test sizes so it keeps coverage now that small panels take
