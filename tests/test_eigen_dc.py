@@ -112,6 +112,14 @@ class TestEighTopkDC:
     eigs = np.concatenate([[-260.0, -250.0], np.full(n - 2, -1e-3)])
     _check(_make_sym(n, eigs), descend=False)
 
+  def test_deflated_remainder_with_padding(self, monkeypatch):
+    # Padding sentinels + deflation + the masked subspace remainder — the
+    # combination the padded record-size path runs.
+    monkeypatch.setattr(dc, "_PROJECT_SPLIT_K", 64)
+    n = 512
+    eigs = np.concatenate([[260.0, 250.0], np.full(n - 2, 1e-3)])
+    _check(_make_sym(n, eigs), n_valid=400)
+
   def test_deflated_remainder_certificate_holds_on_spread_bulk(
       self, monkeypatch):
     # A NON-degenerate bulk: the deflated route promises the residual
