@@ -38,10 +38,14 @@ driver budget, and round 3's insurance rung itself timed out):
     when the insurance rung also failed — the one scenario round 3's
     scheduler left uncovered (its official insurance rung timed out at its
     180 s cap and banked nothing);
-  * the full_eigh (exact-parity) solver gets its OWN ladder: bank N=4096
-    before gambling the target N, then retry the target once if budget
-    remains (stage programs compiled by a timed-out first attempt persist
-    in .jax_cache, so a retry resumes compilation rather than restarting);
+  * the full_eigh (exact-parity) solver gets its OWN ladder, TARGET-FIRST
+    (measured: its staged D&C route cold-compiles ~3x faster than any
+    <=8192 full-eigh rung): gamble the target with one cache-resume retry
+    (stage programs compiled by a timed-out attempt persist in .jax_cache),
+    then degrade to the 4096/2048/1024 rungs; after all ladders, a final
+    pass retries the headline solver's small rungs with the released
+    reserve, and the headline is the largest-N banked measurement across
+    solvers;
   * truncated .jax_cache entries (a killed run leaves one; JAX then warns
     ZstdError and cold-compiles forever after) are detected and deleted
     before any compilation;
