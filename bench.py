@@ -513,7 +513,10 @@ def main():
     entries = measured.get(tag, {})
     if entries:
       best = dict(entries[max(entries)])
-      if tag == htag and best["n"] != n_target:
+      # Flag ANY solver that fell short of the target size — not just the
+      # nominal headline solver: if the headline is inherited by another
+      # tag at a sub-target rung, the record must still say so (ADVICE r4).
+      if best["n"] != n_target:
         best["degraded"] = f"target N={n_target} did not fit the budget"
       if len(entries) > 1:
         best["rungs"] = {f"N{n}": {k: entries[n][k] for k in

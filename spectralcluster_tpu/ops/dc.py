@@ -388,6 +388,15 @@ def _orth_qr(y, col_ok):
   columns are zeroed exactly — they'd otherwise come out of QR as
   amplified-noise directions with unit norm. Handles n < k_pad (reduced QR
   returns min(n, k_pad) columns; the rest are restored as zeros).
+
+  The |diag(R)| test is a HEURISTIC, not a rank-revealing factorization
+  (unpivoted QR can keep an amplified-noise column above threshold, or
+  mask a genuine trailing direction) — its consequences are routing-only
+  and fully backstopped: a wrongly-kept column fails the downstream
+  norm>0.5 keep test or the Ritz residual certificate, and a
+  wrongly-masked one triggers _project_with_retry's redraw / the caller's
+  certified fallback (ADVICE r4). Worst case is one wasted redraw at
+  N=20480, not a wrong answer.
   """
   k_pad = y.shape[1]
   q, r = jnp.linalg.qr(y)
@@ -751,9 +760,18 @@ def eigh_topk_dc(
   t1 = min(t, k_est, k_eff)
   wt1, vt1, res1 = _topt_of_block(a1, m, q, mq, t1, key_rec, descend,
                                   k_eff, k_pad, max_block, _depth, scale)
+  if not np.isfinite(res1) or res1 > _FAIL_RESIDUAL:
+    # Degraded kept-side capture (observed on-chip at N=20480, r4: a
+    # contaminated survivor with res=inf). Detect it BEFORE the remainder
+    # solve — deflating with a bad vt1 poisons the deflated operator and
+    # wastes its (expensive) iteration — and route straight to the
+    # whole-block certified fallback; only ITS failure is terminal
+    # (ADVICE r4).
+    _debug(f"depth={_depth} kept side degraded (res1={res1:.3e}); "
+           "whole-block certified fallback")
+    return _subspace_fallback(m, t, key_rec2, descend, n_valid, scale)
   t_rem = t - t1
   if t_rem == 0:
-    _check_residual(res1)
     return wt1, vt1, res1, scale
 
   comp_fn = _complement_jit(n, with_nvalid)
@@ -779,9 +797,15 @@ def eigh_topk_dc(
     t2 = t_rem + _MERGE_EXTRA
     _debug(f"depth={_depth} deflated-remainder: t1={t1} t_rem={t_rem} "
            f"t2={t2} c_far={c_far:.3e}")
+    # check=False: the inner iteration's own certificate (vs md) must not
+    # raise here — the real gate is the _direct_verify re-certification
+    # against the ORIGINAL m just below, and a failure there routes to the
+    # whole-block fallback as documented (ADVICE r4: with the default
+    # raising check, that recovery path was unreachable for this failure
+    # mode).
     w2p, v2p, _, _ = _subspace_fallback(
         md, t2, key_comp, descend, n_valid, scale,
-        norm_bound=abs(sigma) + alpha)
+        norm_bound=abs(sigma) + alpha, check=False)
     w2, v2, res2j = _direct_verify_jit(n, t2, t2, descend)(
         m, w2p, v2p, jnp.float32(scale))
     res2 = float(jax.device_get(res2j))
@@ -815,10 +839,11 @@ def eigh_topk_dc(
   # the boundary fuzz of sigma can interleave across the two sets.
   res = max(res1, res2)
   if not np.isfinite(res) or res > _FAIL_RESIDUAL:
-    # One side of the split degraded (observed on-chip at N=20480: the
-    # kept-side capture produced a non-verifying pair while the remainder
-    # certified cleanly). The whole-block certified fallback re-solves
-    # from scratch and re-certifies — only ITS failure is terminal.
+    # The remainder solve degraded (res1 was already gated above, so only
+    # res2 can trip this — e.g. deflation leakage failing the re-verify
+    # against the original m). The whole-block certified fallback
+    # re-solves from scratch and re-certifies — only ITS failure is
+    # terminal.
     _debug(f"depth={_depth} split degraded (res1={res1:.3e} "
            f"res2={res2:.3e}); whole-block certified fallback")
     return _subspace_fallback(m, t, key_rec2, descend, n_valid, scale)
@@ -974,7 +999,14 @@ def _subspace_jit(n: int, t: int, descend: bool, with_nvalid: bool):
 
 
 def _subspace_fallback(m, t, key, descend, n_valid, scale=None,
-                       norm_bound=None):
+                       norm_bound=None, check=True):
+  """Certified subspace-iteration solve of the whole block.
+
+  ``check=False`` skips the terminal residual check and returns the raw
+  residual instead — for callers that re-certify the pairs against a
+  different operator themselves (the deflated-remainder path verifies
+  against the ORIGINAL m) and route failures to their own fallback.
+  """
   n = m.shape[0]
   with_nvalid = n_valid is not None
   nb = jnp.float32(np.inf if norm_bound is None else norm_bound)
@@ -984,7 +1016,8 @@ def _subspace_fallback(m, t, key, descend, n_valid, scale=None,
   res_abs, b = float(jax.device_get(res_abs)), float(jax.device_get(b))
   scale = scale if scale is not None else max(b, 1e-30)
   res = res_abs / scale
-  _check_residual(res)
+  if check:
+    _check_residual(res)
   return w, v, res, scale
 
 

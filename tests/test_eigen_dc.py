@@ -171,12 +171,22 @@ class TestEighTopkDC:
   def test_cholqr2_wide_panel_path(self, monkeypatch):
     # Panels wider than _QR_PANEL_MAX use matmul-only CholQR2; force that
     # path at test sizes so it keeps coverage now that small panels take
-    # the breakdown-proof thin QR.
+    # the breakdown-proof thin QR. The orth branch is baked into the
+    # lru_cached _project_block_jit programs at trace time, and earlier
+    # tests in this module already traced the same (n, k_pad, descend)
+    # keys through the thin-QR path — clear the cache around the patch so
+    # the CholQR2 path is genuinely traced and executed (ADVICE r4).
     monkeypatch.setattr(dc, "_QR_PANEL_MAX", 0)
-    n = 512
-    eigs = np.concatenate([[260.0, 250.0], _RNG.randn(n - 2) * 0.5])
-    _check(_make_sym(n, eigs))
-    _check(_make_sym(n, np.linspace(-5, 5, n)))
+    dc._project_block_jit.cache_clear()
+    try:
+      n = 512
+      eigs = np.concatenate([[260.0, 250.0], _RNG.randn(n - 2) * 0.5])
+      _check(_make_sym(n, eigs))
+      _check(_make_sym(n, np.linspace(-5, 5, n)))
+    finally:
+      # Evict the CholQR2-traced programs so later tests (run after the
+      # monkeypatch is undone) re-trace with the real _QR_PANEL_MAX.
+      dc._project_block_jit.cache_clear()
 
   def test_degenerate_cluster_at_mean(self):
     # A 112-fold degenerate cluster exactly at the split point: boundary
