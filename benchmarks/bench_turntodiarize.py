@@ -1,0 +1,111 @@
+"""Turn-to-Diarize on the TPU: constrained + autotuned GraphCut pipeline.
+
+Measures the full second-flagship configuration (reference configs.py:72-80
+— E2CP constraint propagation + AutoTune + GraphCut Laplacian) end-to-end
+on the chip, with permutation-invariant parity against the reference's
+recorded labels on the shared multi-speaker fixture (t2d_fixture, k=4).
+VERDICT r4 item 1: this configuration previously had zero TPU evidence —
+its E2CP used LU solves (16 GB compile wall at N~10k) and its autotune
+sweep a B-candidate batched-eigh monolith (compile wall at N>=8192); both
+were redesigned (constraint.py Neumann fixed point; pipeline.eig_topk_staged
+per-candidate staged sweep).
+
+Usage: timeout 580 python benchmarks/bench_turntodiarize.py 2048 [4096 ...]
+Appends one JSON row per size to benchmarks/bench_t2d.json (atomic).
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+import spectralcluster_tpu as sct  # noqa: E402
+
+from t2d_fixture import make_t2d_fixture  # noqa: E402
+
+LABELS = os.path.join(REPO, "benchmarks", "reference_labels_t2d.npz")
+BASE = os.path.join(REPO, "benchmarks", "baseline_t2d.json")
+OUT = os.path.join(REPO, "benchmarks", "bench_t2d.json")
+
+
+def _ref_labels(n):
+  if not os.path.exists(LABELS):
+    return None
+  with np.load(LABELS) as z:
+    key = f"labels_{n}"
+    return np.asarray(z[key], np.int64) if key in z.files else None
+
+
+def run_one(n, repeats=3):
+  x, scores, truth = make_t2d_fixture(n)
+  cm = sct.ConstraintMatrix(scores, threshold=1).compute_diagonals()
+
+  def predict():
+    # Fresh clusterer per call: AutoTune narrows its own search state.
+    c = sct.configs.make_turntodiarize_clusterer()
+    # Force the staged per-candidate sweep at every size: its three small
+    # programs compile in seconds through the remote-compile tunnel, while
+    # the 11-candidate batched-eigh monolith takes minutes at N=2048 and
+    # exceeds the compile helper outright at N>=8192.
+    c.staged_execution_min_n = 1024
+    return c.predict_with_details(x, cm)
+
+  t0 = time.time()
+  out = predict()
+  compile_s = time.time() - t0
+  times = []
+  for _ in range(repeats):
+    t0 = time.time()
+    out = predict()
+    times.append(time.time() - t0)
+  ours = sct.utils.enforce_ordered_labels(out.labels)
+  ref = _ref_labels(n)
+  row = {
+      "n": n,
+      "latency_s": round(float(np.median(times)), 4),
+      "compile_s": round(compile_s, 1),
+      "n_clusters": int(out.n_clusters),
+      "best_p": round(float(out.best_p_percentile), 4),
+      "parity": (None if ref is None else bool(np.array_equal(ours, ref))),
+      "matches_ground_truth": bool(np.array_equal(
+          ours, sct.utils.enforce_ordered_labels(truth))),
+      "backend": jax.default_backend(),
+  }
+  if os.path.exists(BASE):
+    with open(BASE) as f:
+      base = json.load(f)["results"].get(str(n))
+    if base:
+      row["numpy_predict_s"] = round(base["predict_s"], 2)
+      row["speedup"] = round(base["predict_s"] / row["latency_s"], 1)
+  return row
+
+
+def main():
+  sizes = [int(s) for s in sys.argv[1:]] or [2048]
+  rows = []
+  if os.path.exists(OUT):
+    with open(OUT) as f:
+      rows = json.load(f)
+  for n in sizes:
+    print(f"# N={n} starting", file=sys.stderr, flush=True)
+    row = run_one(n)
+    print(json.dumps(row), flush=True)
+    rows = [r for r in rows if r["n"] != n] + [row]
+    with open(OUT + ".tmp", "w") as f:
+      json.dump(sorted(rows, key=lambda r: r["n"]), f, indent=2)
+    os.replace(OUT + ".tmp", OUT)
+
+
+if __name__ == "__main__":
+  main()

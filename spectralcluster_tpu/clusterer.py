@@ -249,6 +249,18 @@ class SpectralClusterer:
     aff_padded, n_valid = self._pad_square(np.asarray(affinity))
     with_c = constraint_matrix is not None
     with_p = p_percentile is not None
+    if self._staged_eig_applicable(cfg, aff_padded.shape[0], with_c):
+      # Large N: per-candidate staged evaluator (three small programs) —
+      # the monolithic refine+eig program exceeds the compile wall at
+      # N>=8192 on this toolchain. Returns k_cap eigenvector columns (all
+      # downstream K-Means can read), like the staged fixed-k executor.
+      cm = self._pad_square(np.asarray(constraint_matrix))[0] if with_c else None
+      out = pipeline_lib.eig_topk_staged(
+          aff_padded, cfg, constraint_matrix=cm,
+          n_valid=jnp.asarray(n_valid, jnp.int32), p_percentile=p_percentile)
+      w, v, n, delta = jax.device_get(out)
+      return (np.asarray(v)[:num], int(n), float(delta),
+              np.asarray(w)[:num])
     fn = self._eig_fn(cfg, with_c, with_p)
     args = [aff_padded, jnp.asarray(n_valid, jnp.int32)]
     if with_c:
@@ -259,6 +271,11 @@ class SpectralClusterer:
     w, v, n, delta = jax.device_get(fn(*args))  # one batched fetch (1 RTT)
     return (np.asarray(v)[:num, :num], int(n), float(delta),
             np.asarray(w)[:num])
+
+  def _staged_eig_applicable(self, cfg, n_pad: int, with_constraint: bool):
+    return (self.staged_execution_min_n is not None
+            and n_pad >= self.staged_execution_min_n
+            and pipeline_lib._staged_eig_applicable(cfg, with_constraint))
 
   # -- fallback & size-reduction paths ---------------------------------------
 
@@ -449,9 +466,34 @@ class SpectralClusterer:
         return ratios, np.asarray(v)[:, :num_embeddings, :num_embeddings], (
             np.asarray(n))
 
+      def batch_eval_staged(ps: np.ndarray):
+        # Large-N sweep: per-candidate staged evaluator instead of the
+        # vmapped monolith (whose B-candidate batched eigh exceeds the
+        # compile wall at N>=8192 — VERDICT r4 item 1, the piece that kept
+        # Turn-to-Diarize off the chip at scale). p is a traced argument,
+        # so all candidates share three compiled programs; the dispatches
+        # queue asynchronously and one fetch drains the sweep.
+        outs = [
+            pipeline_lib.eig_topk_staged(
+                aff_padded, cfg,
+                constraint_matrix=(cm_padded if cm_for_stage is not None
+                                   else None),
+                n_valid=n_valid_j, p_percentile=float(p)) for p in ps
+        ]
+        ratios, vs, ns = [], [], []
+        for p, out in zip(ps, outs):
+          wi, vi, ni, di = jax.device_get(out)
+          eig_details[float(p)] = (np.asarray(wi)[:num_embeddings], float(di))
+          ratios.append(self.autotune.ratio_from_proxy(p, float(di)))
+          vs.append(np.asarray(vi)[:num_embeddings])
+          ns.append(int(ni))
+        return np.array(ratios), np.stack(vs), np.array(ns)
+
+      staged_sweep = self._staged_eig_applicable(
+          cfg, aff_padded.shape[0], cm_for_stage is not None)
       with timings.stage("eig"):
         eigenvectors, n_clusters, best_p = self.autotune.tune_batched(
-            batch_eval)
+            batch_eval_staged if staged_sweep else batch_eval)
       eigenvalues, max_delta = eig_details[best_p]
     else:
       with timings.stage("eig"):

@@ -633,6 +633,191 @@ def _staged_subspace_eig_jit(cfg: PipelineConfig, with_nvalid: bool):
   return precise_jit(lambda m, key: run(m, key, None))
 
 
+def _staged_eig_applicable(cfg: PipelineConfig, with_constraint: bool) -> bool:
+  """Whether the staged per-candidate eig evaluator (eig_topk_staged) can
+  run this config: needs a symmetric/diagonal-similar structure and — for
+  the top-k middle stages — max_clusters."""
+  if _eig_structure(cfg, with_constraint) == refinement_ops.GENERAL:
+    return False
+  if cfg.eigensolver not in (EigenSolver.Auto, EigenSolver.Eigh,
+                             EigenSolver.SubspaceIteration):
+    return False
+  return cfg.max_clusters is not None
+
+
+@functools.lru_cache(maxsize=32)
+def _eig_prep_jit(cfg: PipelineConfig, with_constraint: bool,
+                  with_nvalid: bool, with_p: bool):
+  """Staged-eval stage 1: refinement(+constraint-after) → symmetric operand.
+
+  Takes the AFFINITY (constraint-before already applied by the host), with
+  p_percentile as a traced argument so an autotune sweep reuses one
+  compiled program across all candidates. Also returns the masked
+  Gershgorin row-sum bound of the operand — the full-spectrum |w| scale
+  the top-k gap stage needs (see finish_topk's wscale rationale)."""
+  from spectralcluster_tpu.precision import precise_jit
+  structure = _eig_structure(cfg, with_constraint)
+
+  def prep(affinity, constraint_matrix, n_valid, p):
+    with jax.default_matmul_precision(cfg.matmul_precision):
+      m, scale = _symmetric_eig_operand(affinity, cfg, p, constraint_matrix,
+                                        n_valid, structure)
+      if scale is None:
+        scale = jnp.ones((m.shape[0],), m.dtype)
+      if n_valid is None:
+        bound = jnp.max(jnp.sum(jnp.abs(m), axis=1))
+      else:
+        valid = jnp.arange(m.shape[0]) < n_valid
+        keep = valid[:, None] & valid[None, :]
+        bound = jnp.max(jnp.sum(jnp.where(keep, jnp.abs(m), 0.0), axis=1))
+      return m, scale, bound
+
+  def wrap(a, c, nv, p):
+    return prep(a, c, nv, p)
+
+  if with_constraint and with_nvalid and with_p:
+    return precise_jit(lambda a, c, nv, p: wrap(a, c, nv, p))
+  if with_constraint and with_nvalid:
+    return precise_jit(lambda a, c, nv: wrap(a, c, nv, None))
+  if with_constraint and with_p:
+    return precise_jit(lambda a, c, p: wrap(a, c, None, p))
+  if with_nvalid and with_p:
+    return precise_jit(lambda a, nv, p: wrap(a, None, nv, p))
+  if with_constraint:
+    return precise_jit(lambda a, c: wrap(a, c, None, None))
+  if with_nvalid:
+    return precise_jit(lambda a, nv: wrap(a, None, nv, None))
+  if with_p:
+    return precise_jit(lambda a, p: wrap(a, None, None, p))
+  return precise_jit(lambda a: wrap(a, None, None, None))
+
+
+@functools.lru_cache(maxsize=32)
+def _gap_topk_jit(cfg: PipelineConfig, with_nvalid: bool):
+  """Staged-eval stage 3 (top-k variant): snap + eigengap + trimmed
+  eigenvector recovery from the t extreme eigenpairs (already in scan
+  order). Mirrors the staged executor's finish_topk minus K-Means — the
+  host autotune/constraint paths run K-Means themselves."""
+  from spectralcluster_tpu.precision import precise_jit
+  descend = _descend(cfg)
+  k_cap = max(cfg.max_clusters, cfg.min_clusters or 0)
+
+  def gap(w, u, scale, wscale, n_valid):
+    with jax.default_matmul_precision(cfg.matmul_precision):
+      eigenvectors = eigen_ops.recover_similarity_eigenvectors(
+          u, scale, n_valid)
+      eigenvalues = eigen_ops.snap_small_eigenvalues(
+          w, n_valid=None, tol=cfg.eigenvalue_snap_tol, wmax=wscale)
+      n_gap, max_delta = eigen_ops.compute_number_of_clusters(
+          eigenvalues, max_clusters=cfg.max_clusters,
+          stop_eigenvalue=cfg.stop_eigenvalue,
+          eigengap_type=cfg.eigengap_type, descend=descend, n_valid=None,
+          wmax=wscale)
+      return eigenvalues, eigenvectors[:, :k_cap], n_gap, max_delta
+
+  if with_nvalid:
+    return precise_jit(gap)
+  return precise_jit(lambda w, u, s, ws: gap(w, u, s, ws, None))
+
+
+@functools.lru_cache(maxsize=32)
+def _gap_full_jit(cfg: PipelineConfig, with_nvalid: bool):
+  """Staged-eval stage 3 (full-spectrum variant, for the single-program
+  eigh middle stage): identical semantics to the staged executor's finish
+  minus K-Means."""
+  from spectralcluster_tpu.precision import precise_jit
+  descend = _descend(cfg)
+  k_cap = max(cfg.max_clusters, cfg.min_clusters or 0)
+
+  def gap(w, u, scale, n_valid):
+    with jax.default_matmul_precision(cfg.matmul_precision):
+      if descend:
+        w, u = w[::-1], u[:, ::-1]
+      eigenvectors = eigen_ops.recover_similarity_eigenvectors(
+          u, scale, n_valid)
+      eigenvalues = eigen_ops.snap_small_eigenvalues(
+          w, n_valid=n_valid, tol=cfg.eigenvalue_snap_tol)
+      n_gap, max_delta = eigen_ops.compute_number_of_clusters(
+          eigenvalues, max_clusters=cfg.max_clusters,
+          stop_eigenvalue=cfg.stop_eigenvalue,
+          eigengap_type=cfg.eigengap_type, descend=descend, n_valid=n_valid)
+      return eigenvalues, eigenvectors[:, :k_cap], n_gap, max_delta
+
+  if with_nvalid:
+    return precise_jit(gap)
+  return precise_jit(lambda w, u, s: gap(w, u, s, None))
+
+
+def eig_topk_staged(
+    affinity: jnp.ndarray,
+    cfg: PipelineConfig,
+    constraint_matrix: typing.Optional[jnp.ndarray] = None,
+    n_valid=None,
+    p_percentile=None,
+):
+  """Host-staged refine→eig→gap evaluation for ONE p_percentile candidate.
+
+  The per-candidate analog of `refine_and_eigendecompose` for sizes where
+  a monolithic program (let alone an 11-candidate vmapped one) exceeds the
+  compile wall: three small programs — refine/operand prep (p traced, one
+  compile for a whole autotune sweep), a top-k eigensolver middle stage
+  (subspace iteration for Auto/SubspaceIteration; the certified spectral
+  D&C or a single eigh program for Eigh), and the gap/recovery program.
+
+  This is what finally puts the constrained+autotuned Turn-to-Diarize
+  configuration (reference configs.py:72-80) on the TPU at N≥8192: the
+  host clusterer's vmapped autotune eval batches B candidates' full eighs
+  into one program, which at N=10240 exceeds the remote compile helper's
+  memory just like the fixed-k monolith did (VERDICT r4 item 1).
+
+  Returns DEVICE arrays (eigenvalues, eigenvectors[:, :k_cap], n_gap,
+  max_delta) — not fetched, so a sweep can dispatch all candidates
+  asynchronously and fetch once.
+  """
+  with_constraint = constraint_matrix is not None
+  if not _staged_eig_applicable(cfg, with_constraint):
+    raise ValueError("eig_topk_staged: config requires the general-eig or "
+                     "unbounded-k path; use refine_and_eigendecompose.")
+  with_nvalid = n_valid is not None
+  with_p = p_percentile is not None
+  prep = _eig_prep_jit(cfg, with_constraint, with_nvalid, with_p)
+  args = [affinity]
+  if with_constraint:
+    args.append(constraint_matrix)
+  if with_nvalid:
+    args.append(n_valid)
+  if with_p:
+    args.append(jnp.asarray(p_percentile, jnp.float32))
+  m, scale, bound = prep(*args)
+  n_pad = m.shape[0]
+  if cfg.eigensolver == EigenSolver.Eigh and n_pad <= cfg.dc_max_block:
+    # Explicit exact solver within the single-program wall: full eigh.
+    _, eigh_jit, _, _ = _staged_jits(cfg, with_constraint, with_nvalid)
+    w, u = eigh_jit(m)
+    gap = _gap_full_jit(cfg, with_nvalid)
+    tail = [w, u, scale] + ([n_valid] if with_nvalid else [])
+    return gap(*tail)
+  if cfg.eigensolver == EigenSolver.Eigh:
+    # Exact route past the wall: host-staged spectral D&C. Use ITS norm
+    # estimate as the gap scale (power-iteration-tight; the Gershgorin
+    # bound of a refined affinity can overestimate ||m|| by O(sqrt(n)),
+    # which would inflate the snap threshold).
+    from spectralcluster_tpu.ops import dc as dc_ops
+    w, u, _, wsc = dc_ops.eigh_topk_dc(
+        m, cfg.max_clusters + 1, jax.random.PRNGKey(17),
+        descend=_descend(cfg),
+        n_valid=int(n_valid) if with_nvalid else None,
+        max_block=cfg.dc_max_block)
+    wscale = jnp.float32(wsc)
+  else:
+    sub_jit = _staged_subspace_eig_jit(cfg, with_nvalid)
+    sub_args = [m, jax.random.PRNGKey(42)] + ([n_valid] if with_nvalid else [])
+    w, u, wscale = sub_jit(*sub_args)
+  gap = _gap_topk_jit(cfg, with_nvalid)
+  tail = [w, u, scale, wscale] + ([n_valid] if with_nvalid else [])
+  return gap(*tail)
+
+
 def spectral_cluster_fixed_k_staged(
     embeddings: jnp.ndarray,
     key: jax.Array,

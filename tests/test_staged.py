@@ -148,3 +148,85 @@ class TestStagedExecutor:
         base.replace(eigensolver=EigenSolver.HostGeneral), False)
     assert not pipeline._staged_applicable(
         base.replace(autotune=pipeline.AutoTuneStatic()), False)
+
+
+def _turn_fixture(n=120, k=3, d=16, seed=0):
+  """Contiguous-speaker fixture with Turn-to-Diarize turn scores:
+  speaker changes get cannot-link scores (2.0 > threshold), half the
+  within-speaker adjacencies are must-links (score 0)."""
+  from spectralcluster_tpu.constraint import ConstraintMatrix
+  rng = np.random.RandomState(seed)
+  centers = rng.randn(k, d) * 3
+  labels = np.repeat(np.arange(k), n // k)
+  x = (centers[labels] + rng.randn(n, d) * 0.3).astype(np.float32)
+  scores = np.zeros(n)
+  for i in range(1, n):
+    if labels[i] != labels[i - 1]:
+      scores[i] = 2.0
+    elif i % 2:
+      scores[i] = 0.5
+  cm = ConstraintMatrix(scores, threshold=1).compute_diagonals()
+  return x, cm, labels
+
+
+class TestStagedEigEval:
+  """eig_topk_staged: the per-candidate staged refine→eig→gap evaluator
+  that puts the constrained+autotuned (Turn-to-Diarize) pipeline past the
+  monolithic compile wall. Forced on at small N via staged_execution_min_n,
+  it must reproduce the default (monolithic/vmapped) path's labels."""
+
+  def test_turntodiarize_staged_sweep_matches_default(self):
+    from spectralcluster_tpu import utils
+    x, cm, truth = _turn_fixture()
+    got_def = configs.make_turntodiarize_clusterer().predict_with_details(
+        x, cm)
+    staged = configs.make_turntodiarize_clusterer()
+    staged.staged_execution_min_n = 64
+    got_st = staged.predict_with_details(x, cm)
+    np.testing.assert_array_equal(
+        utils.enforce_ordered_labels(got_def.labels),
+        utils.enforce_ordered_labels(got_st.labels))
+    assert got_def.n_clusters == got_st.n_clusters == 3
+    assert got_def.best_p_percentile == got_st.best_p_percentile
+    np.testing.assert_array_equal(
+        utils.enforce_ordered_labels(got_st.labels),
+        utils.enforce_ordered_labels(truth))
+
+  def test_turntodiarize_staged_eigh_route(self):
+    # Explicit exact solver: the staged sweep's middle stage is a full
+    # eigh program (below dc_max_block) instead of subspace iteration.
+    from spectralcluster_tpu import utils
+    x, cm, _ = _turn_fixture(seed=2)
+    base = configs.make_turntodiarize_clusterer()
+    base.eigensolver = EigenSolver.Eigh
+    got_def = base.predict(x, cm)
+    staged = configs.make_turntodiarize_clusterer()
+    staged.eigensolver = EigenSolver.Eigh
+    staged.staged_execution_min_n = 64
+    got_st = staged.predict(x, cm)
+    np.testing.assert_array_equal(utils.enforce_ordered_labels(got_def),
+                                  utils.enforce_ordered_labels(got_st))
+
+  def test_constrained_no_autotune_staged_eig_stage(self):
+    # Constraint (E2CP before refinement) without autotune routes through
+    # _eig_stage; forced staged it must match the monolithic result.
+    from spectralcluster_tpu import utils
+    from spectralcluster_tpu.clusterer import SpectralClusterer
+    x, cm, _ = _turn_fixture(seed=3)
+    kw = dict(min_clusters=2, max_clusters=7,
+              refinement_options=configs.turntodiarize_refinement_options(),
+              constraint_options=configs.turntodiarize_constraint_options(),
+              laplacian_type=LaplacianType.GraphCut, row_wise_renorm=True)
+    got_def = SpectralClusterer(**kw).predict(x, cm)
+    staged = SpectralClusterer(**kw)
+    staged.staged_execution_min_n = 64
+    got_st = staged.predict(x, cm)
+    np.testing.assert_array_equal(utils.enforce_ordered_labels(got_def),
+                                  utils.enforce_ordered_labels(got_st))
+
+  def test_eig_topk_staged_rejects_general_structure(self):
+    cfg = pipeline.PipelineConfig(
+        refinement_options=configs.icassp2018_refinement_options(),
+        max_clusters=7, eigensolver=EigenSolver.HostGeneral)
+    with pytest.raises(ValueError):
+      pipeline.eig_topk_staged(jnp.eye(128), cfg)
