@@ -229,3 +229,51 @@ class TestReferenceAccessors:
     assert ms.num_embeddings == 8
     assert ms.compression_labels is not None
     np.testing.assert_equal(np.asarray(ms.previous_output), np.asarray(out))
+
+
+class TestFactoredHistory:
+  """The O(1)-per-emission factored history (r5): fast paths must be
+  label-identical to per-step-rebuilt state (which forces the fallback
+  branches) and to the reference deflicker semantics."""
+
+  def _stream(self, n=60, seed=3):
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(3, 8) * 4
+    spk = rng.randint(0, 3, size=n)
+    return centers[spk] + rng.randn(n, 8) * 0.2
+
+  def test_hungarian_fast_equals_rebuilt(self):
+    # Invalidating the memo every step forces _history_sync rebuilds and
+    # the O(history) cost-matrix fallback inside _match_inner; outputs
+    # must match the steady fast path exactly at every emission.
+    stream = self._stream()
+    fast = _make_multi_stage(Deflicker.Hungarian)
+    slow = _make_multi_stage(Deflicker.Hungarian)
+    for e in stream:
+      out_f = fast.streaming_predict(np.array(e))
+      slow._invalidate_history_memo()
+      out_s = slow.streaming_predict(np.array(e))
+      np.testing.assert_array_equal(np.asarray(out_f), np.asarray(out_s))
+
+  def test_orderbased_equals_eo_of_nodeflicker(self):
+    # OrderBased deflicker is by definition enforce_ordered_labels of the
+    # undeflickered output (reference multi_stage_clusterer.py:171-177);
+    # the factored _ordered_inner must reproduce that exactly.
+    stream = self._stream(seed=4)
+    ob = _make_multi_stage(Deflicker.OrderBased)
+    nd = _make_multi_stage(Deflicker.NoDeflicker)
+    for e in stream:
+      out_ob = ob.streaming_predict(np.array(e))
+      out_nd = nd.streaming_predict(np.array(e))
+      np.testing.assert_array_equal(
+          np.asarray(out_ob),
+          utils.enforce_ordered_labels(np.asarray(out_nd)))
+
+  def test_chain_dtype_quirk_preserved(self):
+    # chain_labels returns float64 (reference quirk) — the factored
+    # take-based composition must not change the output dtype story.
+    nd = _make_multi_stage(Deflicker.NoDeflicker)
+    out = None
+    for e in self._stream(n=20, seed=5):
+      out = nd.streaming_predict(np.array(e))
+    assert np.asarray(out).dtype == np.float64
