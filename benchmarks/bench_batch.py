@@ -86,6 +86,24 @@ def main(batch=16, n=1024, d=256, chunk=0):
     times.append(time.time() - t0)
   e2e = float(np.median(times))
 
+  # Streamed e2e: same chunks, but with up to `window` chunks in flight so
+  # H2D staging overlaps compute and the D2H fetches (VERDICT r4 item 7).
+  times = []
+  preds_s = None
+  for _ in range(repeats):
+    t0 = time.time()
+    preds_s = batch_lib.cluster_batch_streamed(utts, cfg, mesh=mesh,
+                                               chunk=chunk, window=4)
+    times.append(time.time() - t0)
+  e2e_streamed = float(np.median(times))
+  # Permutation-invariant: the streamed driver seeds each chunk by its
+  # batch offset (distinct PRNG streams), the serial loop reuses seed=0.
+  assert all(
+      np.array_equal(utils.enforce_ordered_labels(a),
+                     utils.enforce_ordered_labels(b))
+      for a, b in zip(preds, preds_s)), (
+      "streamed driver diverged from the serial chunked driver")
+
   # Correctness gate: permutation-invariant exact match per utterance.
   matches = sum(
       bool(np.array_equal(utils.enforce_ordered_labels(p),
@@ -109,18 +127,22 @@ def main(batch=16, n=1024, d=256, chunk=0):
 
   print(f"devices={len(jax.devices())} batch={batch} N={n} d={d} "
         f"chunk={chunk} compile={compile_s:.1f}s e2e={e2e:.3f}s "
+        f"e2e_streamed={e2e_streamed:.3f}s "
         f"resident/chunk={resident:.3f}s "
         f"gt_match={matches}/{batch} "
         f"=> {batch / e2e:.1f} utt/s e2e, "
+        f"{batch / e2e_streamed:.1f} utt/s streamed, "
         f"{chunk / resident:.1f} utt/s device-resident", flush=True)
   print(json.dumps({
       "devices": len(jax.devices()), "backend": jax.default_backend(),
       "batch": batch, "n": n, "d": d, "chunk": chunk,
       "solver": solver or "Auto",
       "compile_s": round(compile_s, 1), "e2e_s": round(e2e, 3),
+      "e2e_streamed_s": round(e2e_streamed, 3),
       "resident_chunk_s": round(resident, 3),
       "gt_match": matches,
       "utt_per_s_e2e": round(batch / e2e, 1),
+      "utt_per_s_streamed": round(batch / e2e_streamed, 1),
       "utt_per_s_resident": round(chunk / resident, 1)}), flush=True)
 
 

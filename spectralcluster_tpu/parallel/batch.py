@@ -254,6 +254,80 @@ def cluster_batch_autotuned(
   return [labels[i, :lengths[i]] for i in range(b)]
 
 
+def cluster_batch_streamed(
+    utterances: typing.Sequence[np.ndarray],
+    cfg: pipeline_lib.PipelineConfig,
+    mesh=None,
+    seed: int = 0,
+    chunk: int = 16,
+    window: int = 4,
+    constraint_matrices: typing.Optional[
+        typing.Sequence[np.ndarray]] = None,
+) -> typing.List[np.ndarray]:
+  """Chunked DP batch clustering with transfer/compute overlap.
+
+  The plain chunked loop (cluster_batch per chunk) serializes
+  host→device staging, compute, and device→host fetch: each chunk's
+  np.asarray(labels) blocks before the next chunk's H2D copy even starts —
+  measured 90.7 s e2e vs 1.555 s/chunk device-resident for the
+  1024-utterance config (VERDICT r4 item 7; the tunnel's ~40 ms/MB
+  transfer is the bottleneck, and it was unoverlapped). This driver keeps
+  up to ``window`` chunks in flight: stage chunk i+1..i+window and
+  dispatch their compute while chunk i's labels are fetched — JAX's async
+  dispatch queues transfers and programs without blocking, so the fetch of
+  chunk i overlaps everything queued behind it. Peak extra HBM =
+  window × chunk × N × d floats (16 MB/chunk at the bench shape).
+
+  All chunks share one padded shape bucket (one compile). Returns
+  per-utterance label arrays exactly like cluster_batch.
+  """
+  if mesh is None:
+    mesh = mesh_lib.make_mesh()
+  dp = mesh.shape["batch"]
+  if chunk % dp:
+    chunk = -(-chunk // dp) * dp
+  b = len(utterances)
+  lengths = [u.shape[0] for u in utterances]
+  d = utterances[0].shape[1]
+  n_pad = pipeline_lib.pad_bucket(max(lengths))
+  with_constraint = constraint_matrices is not None
+  if with_constraint and len(constraint_matrices) != b:
+    raise ValueError("need one constraint matrix per utterance")
+  fn = make_batched_cluster_fn(cfg, mesh)
+
+  def stage(lo):
+    hi = min(lo + chunk, b)
+    batch = np.zeros((chunk, n_pad, d), dtype=np.float32)
+    n_valid = np.ones((chunk,), dtype=np.int32)
+    for j, u in enumerate(utterances[lo:hi]):
+      batch[j, :u.shape[0]] = u
+      n_valid[j] = u.shape[0]
+    keys = jax.vmap(jax.random.PRNGKey)(seed + lo + np.arange(chunk))
+    args = [jax.device_put(batch), jax.device_put(n_valid), keys]
+    if with_constraint:
+      cms = np.zeros((chunk, n_pad, n_pad), dtype=np.float32)
+      for j, cm in enumerate(constraint_matrices[lo:hi]):
+        k = lengths[lo + j]
+        cms[j, :k, :k] = cm
+      args.append(jax.device_put(cms))
+    labels, _ = fn(*args)
+    return labels
+
+  out: typing.List[np.ndarray] = []
+  inflight: typing.List[typing.Tuple[int, typing.Any]] = []
+  for lo in range(0, b, chunk):
+    inflight.append((lo, stage(lo)))
+    if len(inflight) >= window:
+      flo, flabels = inflight.pop(0)
+      arr = np.asarray(jax.device_get(flabels))
+      out.extend(arr[j, :lengths[flo + j]]
+                 for j in range(min(chunk, b - flo)))
+  for flo, flabels in inflight:
+    arr = np.asarray(jax.device_get(flabels))
+    out.extend(arr[j, :lengths[flo + j]] for j in range(min(chunk, b - flo)))
+  return out
+
+
 def cluster_batch(
     utterances: typing.Sequence[np.ndarray],
     cfg: pipeline_lib.PipelineConfig,

@@ -72,6 +72,29 @@ class TestBatchDP:
     results = batch_lib.cluster_batch(utts, _cfg(), mesh=mesh)
     assert [r.shape[0] for r in results] == [16, 24, 32, 24, 16]
 
+  def test_cluster_batch_streamed_matches_serial(self):
+    # The overlapped (windowed in-flight) driver must return exactly what
+    # the serial chunked loop returns — per utterance, same keys — for
+    # batch sizes that do and don't divide the chunk, with a ragged tail.
+    rng = np.random.RandomState(2)
+    mesh = mesh_lib.make_mesh(dp=4, mp=2)
+    cfg = _cfg()
+    utts = [_utterance(rng, n)[0] for n in (24, 16, 32, 24, 16, 24, 32,
+                                            24, 16, 24)]
+    serial = []
+    for i in range(0, len(utts), 4):
+      serial.extend(batch_lib.cluster_batch(utts[i:i + 4], cfg, mesh=mesh,
+                                            seed=i))
+    streamed = batch_lib.cluster_batch_streamed(utts, cfg, mesh=mesh,
+                                                chunk=4, window=2)
+    assert len(streamed) == len(utts)
+    for s, u in zip(streamed, utts):
+      assert s.shape[0] == u.shape[0]
+    # Same per-chunk seeds => identical labels chunk by chunk.
+    for a, b in zip(serial, streamed):
+      np.testing.assert_array_equal(
+          utils.enforce_ordered_labels(a), utils.enforce_ordered_labels(b))
+
 
 class TestBatchAutotuned:
 
