@@ -170,6 +170,11 @@ class PipelineConfig:
   # remote compile helper. Raise it on toolchains without that constraint to
   # keep the exact single-program eigh up to ~10k.
   dc_max_block: int = 8192
+  # Matmul precision of the D&C sign chain (ops/dc.py). None = the solver
+  # default ("high", 3-pass bf16 — 2x faster with certificates intact;
+  # overridable at measurement time via SCT_DC_SIGN_PRECISION). Set
+  # "highest" for the 6-pass full-f32-equivalent chain.
+  dc_sign_precision: typing.Optional[str] = None
   # In-graph auto-tune (level-1 candidate sweep) for the fully-jitted paths;
   # the host-orchestrated SpectralClusterer uses autotune.AutoTune instead.
   autotune: typing.Optional[AutoTuneStatic] = None
@@ -807,7 +812,8 @@ def eig_topk_staged(
         m, cfg.max_clusters + 1, jax.random.PRNGKey(17),
         descend=_descend(cfg),
         n_valid=int(n_valid) if with_nvalid else None,
-        max_block=cfg.dc_max_block)
+        max_block=cfg.dc_max_block,
+        sign_precision=cfg.dc_sign_precision)
     wscale = jnp.float32(wsc)
   else:
     sub_jit = _staged_subspace_eig_jit(cfg, with_nvalid)
@@ -896,7 +902,8 @@ def spectral_cluster_fixed_k_staged(
           m, cfg.max_clusters + 1, jax.random.PRNGKey(17),
           descend=_descend(cfg),
           n_valid=int(n_valid) if with_nvalid else None,
-          max_block=cfg.dc_max_block)
+          max_block=cfg.dc_max_block,
+          sign_precision=cfg.dc_sign_precision)
 
     w, u, _, wscale = _stage("staged_dc", _dc)
     tail = [w, u, scale, key, jnp.float32(wscale)] + (
