@@ -287,6 +287,49 @@ def cholqr2_shifted(y: jnp.ndarray) -> jnp.ndarray:
   return y
 
 
+def topk_eigh_subspace_masked(
+    mat: jnp.ndarray,
+    k: int,
+    key: jax.Array,
+    largest: bool,
+    n_valid=None,
+    num_iters: int = 24,
+    residual_tol: typing.Optional[float] = None,
+    max_iters: int = 384,
+) -> typing.Tuple[jnp.ndarray, jnp.ndarray]:
+  """topk_eigh_subspace on the VALID block of a sentinel-padded matrix.
+
+  The ascending (largest=False) case must NOT see apply_padding_sentinels'
+  pad diagonal: sentinel magnitudes grow with the pad index (up to tens of
+  times the valid Gershgorin bound at deep pads), so the default
+  full-matrix Gershgorin shift lands at the sentinel scale and the whole
+  valid spectrum collapses into a relative band of ~1e-4 of the shifted
+  operator — block power iteration then cannot separate the bottom
+  eigenvalues within the iteration budget (observed: Turn-to-Diarize at
+  N=4096 → pad 4864 returned garbage bottom-8 values on the chip, r5).
+  Here the pad block is rebuilt as exact zeros with diagonal = bound + 1
+  (just past the ascending scan end) and the shift comes from the VALID
+  block's Gershgorin bound: valid eigenvalues shift into [1, bound+1],
+  pads to exactly 0 — never captured, healthy separation.
+
+  The descending case passes through unchanged (hardware-validated path).
+  """
+  if largest or n_valid is None:
+    return topk_eigh_subspace(mat, k, key, num_iters=num_iters,
+                              largest=largest, residual_tol=residual_tol,
+                              max_iters=max_iters)
+  n = mat.shape[0]
+  v = jnp.arange(n) < n_valid
+  keep = v[:, None] & v[None, :]
+  mm = jnp.where(keep, mat, 0.0)
+  bound = jnp.max(jnp.sum(jnp.abs(mm), axis=1))
+  shift = bound + 1.0
+  op_m = mm + jnp.diag(jnp.where(v, 0.0, shift))
+  return topk_eigh_subspace(op_m, k, key, num_iters=num_iters, largest=False,
+                            shift=shift, residual_tol=residual_tol,
+                            max_iters=max_iters)
+
+
 def topk_eigh_subspace(
     mat: jnp.ndarray,
     k: int,

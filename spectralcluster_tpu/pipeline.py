@@ -264,9 +264,9 @@ def _refine_and_eigendecompose(
     """Symmetric eigendecomposition: full eigh or top-k subspace iteration."""
     if cfg.eigensolver == EigenSolver.SubspaceIteration:
       k = cfg.max_clusters + 1
-      w, u = eigen_ops.topk_eigh_subspace(
-          sym_mat, k, jax.random.PRNGKey(42),
-          num_iters=cfg.subspace_iters, largest=descend,
+      w, u = eigen_ops.topk_eigh_subspace_masked(
+          sym_mat, k, jax.random.PRNGKey(42), largest=descend,
+          n_valid=n_valid, num_iters=cfg.subspace_iters,
           residual_tol=cfg.subspace_residual_tol,
           max_iters=cfg.subspace_max_iters)
       return w, eigen_ops.recover_similarity_eigenvectors(u, vec_scale,
@@ -621,8 +621,9 @@ def _staged_subspace_eig_jit(cfg: PipelineConfig, with_nvalid: bool):
   def run(m, key, n_valid):
     with jax.default_matmul_precision(cfg.matmul_precision):
       k = cfg.max_clusters + 1
-      w, u = eigen_ops.topk_eigh_subspace(
-          m, k, key, num_iters=cfg.subspace_iters, largest=descend,
+      w, u = eigen_ops.topk_eigh_subspace_masked(
+          m, k, key, largest=descend, n_valid=n_valid,
+          num_iters=cfg.subspace_iters,
           residual_tol=cfg.subspace_residual_tol,
           max_iters=cfg.subspace_max_iters)
       if n_valid is None:

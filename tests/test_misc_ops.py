@@ -217,3 +217,42 @@ class TestSubspaceIteration:
     w1, _ = eigen_ops.topk_eigh_subspace(m, 5, jax.random.PRNGKey(0),
                                          num_iters=30, residual_tol=2e-3)
     np.testing.assert_allclose(np.asarray(w0), np.asarray(w1), rtol=1e-4)
+
+
+class TestSubspaceMaskedPadded:
+  """topk_eigh_subspace_masked: the ascending path on sentinel-padded
+  operands (the r5 Turn-to-Diarize N=4096 chip regression — sentinel-scale
+  shifts collapsed the valid spectrum's separation)."""
+
+  def test_ascending_bottom_k_with_deep_padding(self):
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.RandomState(0)
+    n_valid, n = 128, 1024
+    q, _ = np.linalg.qr(rng.randn(n_valid, n_valid))
+    eigs = np.concatenate([[0.0, 0.020, 0.021, 0.022],
+                           np.linspace(0.9, 1.8, n_valid - 4)])
+    a = (q * eigs) @ q.T
+    m = np.zeros((n, n), np.float32)
+    m[:n_valid, :n_valid] = a
+    m_j = eigen_ops.apply_padding_sentinels(
+        jnp.asarray(m), jnp.asarray(n_valid), descend=False)
+    w, v = eigen_ops.topk_eigh_subspace_masked(
+        m_j, 8, jax.random.PRNGKey(0), largest=False, n_valid=n_valid,
+        residual_tol=1e-6, max_iters=2048)
+    w = np.asarray(w)
+    np.testing.assert_allclose(w, np.sort(eigs)[:8], atol=1e-3)
+    # Pad coordinates must never be captured.
+    assert float(np.abs(np.asarray(v)[n_valid:]).max()) < 1e-3
+
+  def test_descending_passthrough(self):
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.RandomState(1)
+    x = rng.randn(96, 96)
+    m = ((x + x.T) / 2).astype(np.float32)
+    w_ref = np.linalg.eigvalsh(m.astype(np.float64))[::-1][:5]
+    w, _ = eigen_ops.topk_eigh_subspace_masked(
+        jnp.asarray(m), 5, jax.random.PRNGKey(0), largest=True,
+        residual_tol=1e-6, max_iters=2048)
+    np.testing.assert_allclose(np.asarray(w), w_ref, atol=1e-3)
