@@ -44,6 +44,9 @@ from spectralcluster_tpu.types import (ClusterResult,
 
 _AFFINITY_JIT = precise_jit(affinity_ops.compute_affinity_matrix)
 
+_TRIDIAG_JIT = precise_jit(
+    lambda main, up, lo: (jnp.diag(main) + jnp.diag(up, 1) + jnp.diag(lo, -1)))
+
 
 @functools.lru_cache(maxsize=32)
 def _adjust_affinity_jit(options):
@@ -206,14 +209,44 @@ class SpectralClusterer:
             and self.min_clusters != 1)
 
   @staticmethod
-  def _pad_square(mat: np.ndarray) -> typing.Tuple[jnp.ndarray, int]:
+  def _pad_square(mat) -> typing.Tuple[jnp.ndarray, int]:
+    """Pad to the shape bucket. Device arrays are padded ON DEVICE: a host
+    round trip of an (N, N) float32 costs ~40 ms/MB through a tunneled
+    backend (~17 s for the 420 MB N=10240 matrix) — the transfer, not the
+    compute, dominated the r5 Turn-to-Diarize profile."""
     n = mat.shape[0]
     b = pipeline_lib.pad_bucket(n)
+    if isinstance(mat, jnp.ndarray):
+      mat = mat.astype(jnp.float32)
+      if b == n:
+        return mat, n
+      return jnp.pad(mat, ((0, b - n), (0, b - n))), n
     if b == n:
       return jnp.asarray(mat, dtype=jnp.float32), n
     out = np.zeros((b, b), dtype=np.float32)
     out[:n, :n] = np.asarray(mat, dtype=np.float32)
     return jnp.asarray(out), n
+
+  @staticmethod
+  def _upload_constraint(cm: np.ndarray) -> jnp.ndarray:
+    """Stage a host constraint matrix onto the device.
+
+    The library-built ConstraintMatrix is tri-diagonal (reference
+    constraint.py:167-201): detecting that costs O(nnz) on the host and
+    shrinks the upload from N² floats (~420 MB at N=10240, ~17 s through
+    the tunnel) to two diagonals. Dense/general constraints upload as-is.
+    """
+    cm = np.asarray(cm)
+    n = cm.shape[0]
+    if n >= 1024:
+      ii, jj = np.nonzero(cm)
+      if ii.size <= 4 * n and np.all(np.abs(ii - jj) <= 1):
+        main = np.ascontiguousarray(np.diag(cm)).astype(np.float32)
+        up = np.ascontiguousarray(np.diagonal(cm, 1)).astype(np.float32)
+        lo = np.ascontiguousarray(np.diagonal(cm, -1)).astype(np.float32)
+        return _TRIDIAG_JIT(jnp.asarray(main), jnp.asarray(up),
+                            jnp.asarray(lo))
+    return jnp.asarray(cm, dtype=jnp.float32)
 
   def _compute_eigenvectors_ncluster(self,
                                      affinity,
@@ -245,8 +278,8 @@ class SpectralClusterer:
               f"EigenSolver.{self.eigensolver.name} requires a symmetric "
               "constraint matrix; use EigenSolver.Auto or HostGeneral.")
         cfg = cfg.replace(constraint_symmetric=constraint_symmetric)
-    num = np.asarray(affinity).shape[0]
-    aff_padded, n_valid = self._pad_square(np.asarray(affinity))
+    num = affinity.shape[0]
+    aff_padded, n_valid = self._pad_square(affinity)
     with_c = constraint_matrix is not None
     with_p = p_percentile is not None
     if self._staged_eig_applicable(cfg, aff_padded.shape[0], with_c):
@@ -398,10 +431,14 @@ class SpectralClusterer:
           max_delta_norm=float(max_delta),
           timings=timings.as_dict())
 
+    # The (N, N) affinity stays DEVICE-RESIDENT through constraint
+    # adjustment, padding and the eig stage: each host round trip costs
+    # ~40 ms/MB through a tunneled backend, and the previous
+    # fetch→adjust→fetch→pad flow moved ~3 N² floats (~11 s at N=4096,
+    # dominating the whole constrained predict).
     with timings.stage("affinity"):
       if self.affinity_function is None:
-        affinity = np.asarray(
-            _AFFINITY_JIT(jnp.asarray(embeddings, dtype=jnp.float32)))
+        affinity = _AFFINITY_JIT(jnp.asarray(embeddings, dtype=jnp.float32))
       else:
         affinity = np.asarray(self.affinity_function(embeddings))
 
@@ -409,7 +446,8 @@ class SpectralClusterer:
     if self.min_clusters == 1:
       with timings.stage("single_cluster_check"):
         single = fallback_lib.check_single_cluster(self.fallback_options,
-                                                   embeddings, affinity)
+                                                   embeddings,
+                                                   np.asarray(affinity))
       if single:
         return ClusterResult(labels=np.zeros(num_embeddings, dtype=np.int64),
                              n_clusters=1, timings=timings.as_dict())
@@ -421,9 +459,8 @@ class SpectralClusterer:
           and self.constraint_options.apply_before_refinement):
         adjust = _adjust_affinity_jit(self.constraint_options)
         with timings.stage("constraint"):
-          affinity = np.asarray(
-              adjust(jnp.asarray(affinity, dtype=jnp.float32),
-                     jnp.asarray(constraint_matrix, dtype=jnp.float32)))
+          affinity = adjust(jnp.asarray(affinity, dtype=jnp.float32),
+                            self._upload_constraint(constraint_matrix))
         if not constraint_symmetric:
           # The adjusted affinity is now asymmetric; let the static symmetry
           # analysis decide whether the refinement sequence restores symmetry.
