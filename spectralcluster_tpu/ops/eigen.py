@@ -296,6 +296,7 @@ def topk_eigh_subspace_masked(
     num_iters: int = 24,
     residual_tol: typing.Optional[float] = None,
     max_iters: int = 384,
+    drift_tol: typing.Optional[float] = None,
 ) -> typing.Tuple[jnp.ndarray, jnp.ndarray]:
   """topk_eigh_subspace on the VALID block of a sentinel-padded matrix.
 
@@ -317,7 +318,7 @@ def topk_eigh_subspace_masked(
   if largest or n_valid is None:
     return topk_eigh_subspace(mat, k, key, num_iters=num_iters,
                               largest=largest, residual_tol=residual_tol,
-                              max_iters=max_iters)
+                              max_iters=max_iters, drift_tol=drift_tol)
   n = mat.shape[0]
   v = jnp.arange(n) < n_valid
   keep = v[:, None] & v[None, :]
@@ -327,7 +328,7 @@ def topk_eigh_subspace_masked(
   op_m = mm + jnp.diag(jnp.where(v, 0.0, shift))
   return topk_eigh_subspace(op_m, k, key, num_iters=num_iters, largest=False,
                             shift=shift, residual_tol=residual_tol,
-                            max_iters=max_iters)
+                            max_iters=max_iters, drift_tol=drift_tol)
 
 
 def topk_eigh_subspace(
@@ -340,6 +341,7 @@ def topk_eigh_subspace(
     shift: typing.Optional[float] = None,
     residual_tol: typing.Optional[float] = None,
     max_iters: int = 384,
+    drift_tol: typing.Optional[float] = None,
 ) -> typing.Tuple[jnp.ndarray, jnp.ndarray]:
   """Randomized subspace (block power) iteration for extreme eigenpairs.
 
@@ -357,6 +359,20 @@ def topk_eigh_subspace(
   most sensitive) can mis-rank eigenvalues at a fixed 24 iterations; the
   residual check detects and fixes this inside the compiled graph
   (lax.while_loop — one extra (N,N)x(N,b) matmul per chunk).
+
+  ``drift_tol`` adds a VALUE-settled early exit to the escalation: stop
+  when max_i |λ_i − λ_i_prev_chunk| / max|λ| ≤ drift_tol even though some
+  pair's residual is still above residual_tol. Rationale: spectra with a
+  dense bulk (e.g. a normalized Laplacian's interior at the T2D sweep
+  sizes) have neighbors ~1e-3 apart whose per-PAIR residuals converge at
+  ratio (shift−λ_{i+1})/(shift−λ_i) ≈ 0.9998 — thousands of iterations —
+  while the Ritz VALUES (all the eigengap scan consumes) settle inside
+  the bulk's spread within a few chunks. A pair still migrating ACROSS a
+  gap has large drift, so gap decisions stay protected; only intra-
+  cluster ordering (gap-irrelevant) is left unresolved. Callers whose
+  downstream consumes EIGENVECTORS with per-pair certificates (ops/dc.py)
+  must keep drift_tol=None — a drift-stall there would surface as a
+  certificate failure rather than silent inaccuracy.
   """
   n = mat.shape[0]
   b = min(n, k + oversample)
@@ -394,18 +410,24 @@ def topk_eigh_subspace(
     w, v, _ = rayleigh_ritz(q)
     return w, v
 
+  dtol = -1.0 if drift_tol is None else drift_tol
+
   def cond(state):
-    q, it, res = state
-    return (res > residual_tol) & (it < max_iters)
+    q, it, res, drift, _ = state
+    return (res > residual_tol) & (drift > dtol) & (it < max_iters)
 
   def loop_body(state):
-    q, it, _ = state
+    q, it, _, _, w_prev = state
     q = iterate(q, num_iters)
-    _, _, res = rayleigh_ritz(q)
-    return q, it + num_iters, res
+    w_new, _, res = rayleigh_ritz(q)
+    scale = jnp.maximum(jnp.max(jnp.abs(w_new)), 1e-30)
+    drift = jnp.max(jnp.abs(w_new - w_prev)) / scale
+    return q, it + num_iters, res, drift, w_new
 
-  _, _, res0 = rayleigh_ritz(q)
-  q, _, _ = jax.lax.while_loop(
-      cond, loop_body, (q, jnp.asarray(num_iters, jnp.int32), res0))
+  w0, _, res0 = rayleigh_ritz(q)
+  q, _, _, _, _ = jax.lax.while_loop(
+      cond, loop_body,
+      (q, jnp.asarray(num_iters, jnp.int32), res0,
+       jnp.asarray(jnp.inf, mat.dtype), w0))
   w, v, _ = rayleigh_ritz(q)
   return w, v

@@ -154,6 +154,12 @@ class PipelineConfig:
   subspace_iters: int = 24
   subspace_residual_tol: typing.Optional[float] = 2e-3
   subspace_max_iters: int = 384
+  # Value-settled early exit for the escalation (see
+  # eigen.topk_eigh_subspace): dense-bulk spectra (ascending Laplacians)
+  # never reach the per-pair residual tol — the bulk pairs' Ritz VALUES
+  # settle in 2-3 chunks while their residuals would take thousands of
+  # iterations. None disables (pure residual gating).
+  subspace_drift_tol: typing.Optional[float] = 1e-4
   # Above this padded size, the eigh-split staged executor replaces the
   # single-program eigh with the host-staged spectral divide-and-conquer
   # top-k solver (ops/dc.py): XLA's one-program eigh needs ~17.7 GB of HBM
@@ -268,7 +274,8 @@ def _refine_and_eigendecompose(
           sym_mat, k, jax.random.PRNGKey(42), largest=descend,
           n_valid=n_valid, num_iters=cfg.subspace_iters,
           residual_tol=cfg.subspace_residual_tol,
-          max_iters=cfg.subspace_max_iters)
+          max_iters=cfg.subspace_max_iters,
+          drift_tol=cfg.subspace_drift_tol)
       return w, eigen_ops.recover_similarity_eigenvectors(u, vec_scale,
                                                           n_valid)
     return eigen_ops.sorted_eigh_similarity(
@@ -625,7 +632,8 @@ def _staged_subspace_eig_jit(cfg: PipelineConfig, with_nvalid: bool):
           m, k, key, largest=descend, n_valid=n_valid,
           num_iters=cfg.subspace_iters,
           residual_tol=cfg.subspace_residual_tol,
-          max_iters=cfg.subspace_max_iters)
+          max_iters=cfg.subspace_max_iters,
+          drift_tol=cfg.subspace_drift_tol)
       if n_valid is None:
         bound = jnp.max(jnp.sum(jnp.abs(m), axis=1))
       else:
