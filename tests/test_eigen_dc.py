@@ -34,9 +34,12 @@ def _check(A, t=8, descend=True, max_block=128, n_valid=None,
   A32 = jnp.asarray(A.astype(np.float32))
   if n_valid is not None:
     A32 = eigen_ops.apply_padding_sentinels(A32, n_valid, descend)
+  # try_iterative_first=False: these tests pin the SPLITTING machinery
+  # (sign chain, projection, merge, fallback routing); the certified
+  # iterative fast route has its own test class.
   w, v, res, scale_est = dc.eigh_topk_dc(
       A32, t, jax.random.PRNGKey(0), descend=descend,
-      n_valid=n_valid, max_block=max_block)
+      n_valid=n_valid, max_block=max_block, try_iterative_first=False)
   w, v = np.asarray(w), np.asarray(v)
   nv = n_valid if n_valid is not None else A.shape[0]
   ref = np.linalg.eigh(A[:nv, :nv].astype(np.float64))[0]
@@ -162,7 +165,7 @@ class TestEighTopkDC:
     monkeypatch.setattr(dc, "_project_block_jit", stub)
     w, v, res, _ = dc.eigh_topk_dc(
         jnp.asarray(a.astype(np.float32)), 8, jax.random.PRNGKey(0),
-        max_block=128)
+        max_block=128, try_iterative_first=False)
     assert state["calls"] >= 2  # the redraw happened
     ref = np.linalg.eigh(a.astype(np.float64))[0][::-1][:8]
     np.testing.assert_allclose(np.asarray(w), ref, atol=1e-3 * ref[0])
@@ -221,7 +224,7 @@ class TestEighTopkDC:
     monkeypatch.setattr(dc, "_project_block_jit", stub)
     w, v, res, _ = dc.eigh_topk_dc(
         jnp.asarray(a.astype(np.float32)), 8, jax.random.PRNGKey(0),
-        max_block=128)
+        max_block=128, try_iterative_first=False)
     ref = np.linalg.eigh(a.astype(np.float64))[0][::-1][:8]
     np.testing.assert_allclose(np.asarray(w), ref, atol=1e-3 * ref[0])
     assert res < 5e-3
@@ -413,3 +416,87 @@ class TestStagedPipelineDC:
     got_m, got_s = self._run_both(cfg, self._embeddings(seed=1))
     np.testing.assert_array_equal(got_m[0], got_s[0])
     assert int(got_m[1]) == int(got_s[1])
+
+
+class TestCertifiedIterativeRoute:
+  """The r5 top-level fast route: certified subspace solve + deflated
+  completeness probe, declining to the splitting machinery on any
+  certificate failure (VERDICT r4 weak #2)."""
+
+  def test_accepts_dominant_spectrum_without_splitting(self, monkeypatch):
+    # Diarization-like spectrum: the route must solve it WITHOUT ever
+    # invoking the sign chain.
+    def boom(*a, **k):
+      raise AssertionError("sign chain must not run on the fast route")
+    monkeypatch.setattr(dc, "_sign_project", boom)
+    n = 512
+    # Quasi-degenerate bulk (the record-fixture regime: refined-affinity
+    # noise eigenvalues spread ~1e-6 of scale — the residual certificate
+    # accepts bulk-spanning Ritz vectors without separating neighbors; a
+    # SPREAD bulk correctly declines to the splitting route instead).
+    eigs = np.concatenate([[260.0, 250.0, 240.0, 230.0],
+                           1e-3 + _RNG.randn(n - 4) * 1e-4])
+    a = _make_sym(n, eigs)
+    w, v, res, scale = dc.eigh_topk_dc(
+        jnp.asarray(a.astype(np.float32)), 8, jax.random.PRNGKey(0),
+        max_block=128)
+    ref = np.linalg.eigh(a.astype(np.float64))[0][::-1][:8]
+    np.testing.assert_allclose(np.asarray(w), ref, atol=1e-3 * ref[0])
+    assert res <= dc._ITER_ACCEPT_RES
+    # tight norm estimate, not Gershgorin (ADVICE r2 hazard)
+    assert 0.3 * ref[0] <= scale <= 3.2 * ref[0]
+
+  def test_padded_and_ascending(self, monkeypatch):
+    def boom(*a, **k):
+      raise AssertionError("sign chain must not run on the fast route")
+    monkeypatch.setattr(dc, "_sign_project", boom)
+    n, nv = 512, 400
+    eigs = np.concatenate([[-260.0, -250.0], np.full(nv - 2, -1e-3)])
+    a = np.zeros((n, n), np.float32)
+    a[:nv, :nv] = _make_sym(nv, eigs).astype(np.float32)
+    a_j = eigen_ops.apply_padding_sentinels(jnp.asarray(a), nv, False)
+    w, v, res, _ = dc.eigh_topk_dc(
+        a_j, 8, jax.random.PRNGKey(0), descend=False, n_valid=nv,
+        max_block=128)
+    ref = np.linalg.eigh(a[:nv, :nv].astype(np.float64))[0][:8]
+    np.testing.assert_allclose(np.asarray(w), ref, atol=1e-3 * abs(ref[0]))
+    assert np.abs(np.asarray(v)[nv:]).max() < 1e-3
+
+  def test_declines_to_splitting_on_residual(self, monkeypatch):
+    # Force the residual certificate to fail: the splitting machinery must
+    # take over and still produce the right answer.
+    monkeypatch.setattr(dc, "_ITER_ACCEPT_RES", -1.0)
+    calls = {"n": 0}
+    orig = dc._sign_project
+    def counting(*a, **k):
+      calls["n"] += 1
+      return orig(*a, **k)
+    monkeypatch.setattr(dc, "_sign_project", counting)
+    n = 512
+    eigs = np.concatenate([[260.0, 250.0], _RNG.randn(n - 2) * 0.5])
+    a = _make_sym(n, eigs)
+    w, _, _, _ = dc.eigh_topk_dc(
+        jnp.asarray(a.astype(np.float32)), 8, jax.random.PRNGKey(0),
+        max_block=128)
+    assert calls["n"] >= 1
+    ref = np.linalg.eigh(a.astype(np.float64))[0][::-1][:8]
+    np.testing.assert_allclose(np.asarray(w), ref, atol=1e-3 * ref[0])
+
+  def test_probe_detects_missed_top_eigenvalue(self):
+    # Feed the completeness probe t pairs that EXCLUDE the dominant
+    # eigenpair: the deflated remainder must surface it.
+    n, t = 256, 4
+    eigs = np.concatenate([[100.0, 50.0, 45.0, 40.0, 35.0],
+                           _RNG.randn(n - 5) * 0.3])
+    a = _make_sym(n, eigs)
+    w64, v64 = np.linalg.eigh(a.astype(np.float64))
+    w64, v64 = w64[::-1], v64[:, ::-1]
+    # pairs 2..5 (skipping the top eigenvalue 100)
+    w_miss = jnp.asarray(w64[1:t + 1].astype(np.float32))
+    v_miss = jnp.asarray(v64[:, 1:t + 1].astype(np.float32))
+    probe = dc._probe_next_jit(n, t, True, False)
+    b = float(np.abs(a).sum(1).max()) + 1.0
+    est, _ = jax.device_get(probe(
+        jnp.asarray(a.astype(np.float32)), v_miss, w_miss,
+        jnp.asarray(n), jnp.float32(b), jax.random.PRNGKey(3)))
+    assert float(est) > 90.0  # the missed 100 is found
