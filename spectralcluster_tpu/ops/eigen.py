@@ -313,9 +313,20 @@ def topk_eigh_subspace_masked(
   block's Gershgorin bound: valid eigenvalues shift into [1, bound+1],
   pads to exactly 0 — never captured, healthy separation.
 
-  The descending case passes through unchanged (hardware-validated path).
+  The descending case is masked too (r5): sentinel magnitudes reach
+  ~124x the valid bound at deep pad buckets (base + i*step with the
+  GLOBAL index i), so block power iteration amplifies pad coordinates
+  ~124^t faster than any valid direction — after a handful of iterations
+  the float32 basis is pure pad coordinates and every Ritz value is a
+  sentinel. This was latent in every padded descending subspace run
+  (bench legs run unpadded, and the padded test compared the two subspace
+  routes against each other — both wrong identically); first exposed by
+  the k=4/k=7 multi-speaker runs at N=10240 (pad 12288), where the
+  headline solver returned n_clusters=2. With the pad block zeroed
+  (diagonal 0), pads never amplify and decay out of the basis under
+  orthonormalization.
   """
-  if largest or n_valid is None:
+  if n_valid is None:
     return topk_eigh_subspace(mat, k, key, num_iters=num_iters,
                               largest=largest, residual_tol=residual_tol,
                               max_iters=max_iters, drift_tol=drift_tol)
@@ -323,6 +334,10 @@ def topk_eigh_subspace_masked(
   v = jnp.arange(n) < n_valid
   keep = v[:, None] & v[None, :]
   mm = jnp.where(keep, mat, 0.0)
+  if largest:
+    return topk_eigh_subspace(mm, k, key, num_iters=num_iters, largest=True,
+                              residual_tol=residual_tol, max_iters=max_iters,
+                              drift_tol=drift_tol)
   bound = jnp.max(jnp.sum(jnp.abs(mm), axis=1))
   shift = bound + 1.0
   op_m = mm + jnp.diag(jnp.where(v, 0.0, shift))

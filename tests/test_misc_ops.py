@@ -256,3 +256,26 @@ class TestSubspaceMaskedPadded:
         jnp.asarray(m), 5, jax.random.PRNGKey(0), largest=True,
         residual_tol=1e-6, max_iters=2048)
     np.testing.assert_allclose(np.asarray(w), w_ref, atol=1e-3)
+
+  def test_descending_top_k_with_deep_padding(self):
+    # r5 chip regression: descending + deep sentinel padding made block
+    # power iteration converge onto pad coordinates (sentinel magnitudes
+    # grow with the global index). Must match exact top-k.
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.RandomState(2)
+    n_valid, n = 128, 1024
+    q, _ = np.linalg.qr(rng.randn(n_valid, n_valid))
+    eigs = np.concatenate([[100.0, 52.0, 48.0, 44.0],
+                           rng.randn(n_valid - 4) * 0.01])
+    a = (q * eigs) @ q.T
+    m = np.zeros((n, n), np.float32)
+    m[:n_valid, :n_valid] = a
+    m_j = eigen_ops.apply_padding_sentinels(
+        jnp.asarray(m), jnp.asarray(n_valid), descend=True)
+    w, v = eigen_ops.topk_eigh_subspace_masked(
+        m_j, 8, jax.random.PRNGKey(0), largest=True, n_valid=n_valid,
+        residual_tol=1e-6, max_iters=2048)
+    ref = np.sort(eigs)[::-1][:8]
+    np.testing.assert_allclose(np.asarray(w), ref, atol=1e-3 * ref[0])
+    assert float(np.abs(np.asarray(v)[n_valid:]).max()) < 1e-3
