@@ -58,11 +58,20 @@ def run_route(x, solver, n):
       min_clusters=2, max_clusters=7, custom_dist="cosine", max_iter=300,
       eigensolver=solver)
   key = jax.random.PRNGKey(0)
-  n_pad = pipeline.pad_bucket(n)
-  xp = np.zeros((n_pad, x.shape[1]), np.float32)
-  xp[:n] = x
-  xj = jnp.asarray(xp)
-  nv = jnp.asarray(n, jnp.int32)
+  # SCT_MS_EXACT=1: run at the exact problem shape with no padding mask —
+  # the record-run methodology at N=20480, whose pad bucket (24064) puts
+  # the prep program's temporaries past the 16 GB HBM (measured 21.6 GB).
+  # Padded-path coverage at record size comes from the N=10240 runs
+  # (bucket 12288).
+  if os.environ.get("SCT_MS_EXACT") == "1":
+    xj = jnp.asarray(x)
+    nv = None
+  else:
+    n_pad = pipeline.pad_bucket(n)
+    xp = np.zeros((n_pad, x.shape[1]), np.float32)
+    xp[:n] = x
+    xj = jnp.asarray(xp)
+    nv = jnp.asarray(n, jnp.int32)
 
   def call():
     labels, n_clusters, _, _ = pipeline.spectral_cluster_fixed_k_staged(

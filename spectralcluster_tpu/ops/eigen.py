@@ -279,11 +279,29 @@ def cholqr2_shifted(y: jnp.ndarray) -> jnp.ndarray:
   iterations if orthogonality loss ever degrades the Ritz residuals.
   """
   b = y.shape[1]
-  for _ in range(2):
+
+  def one_pass(y, delta_rel):
     gram = jnp.matmul(y.T, y, preferred_element_type=jnp.float32)
-    delta = 1e-6 * jnp.maximum(jnp.max(jnp.diag(gram)), 1e-30)
+    delta = delta_rel * jnp.maximum(jnp.max(jnp.diag(gram)), 1e-30)
     r = jnp.linalg.cholesky(gram + delta * jnp.eye(b, dtype=y.dtype))
-    y = jax.scipy.linalg.solve_triangular(r, y.T, lower=True).T
+    return jax.scipy.linalg.solve_triangular(r, y.T, lower=True).T
+
+  for _ in range(2):
+    # Breakdown guard (r5): after one multiplication by an operator with a
+    # dominant low-rank top, the panel's numerical rank collapses and
+    # rounding can push the 1e-6-shifted Gram indefinite — Cholesky then
+    # yields NaNs that poison the whole basis (observed on-chip at
+    # N=20480, k=4, under the 6-pass "highest" matmul mode; the NaN
+    # propagates through every later iteration). Retry the pass with a
+    # 1e-2 shift — heavily damped but always positive-definite; the
+    # second CholQR2 pass (or the next iteration's) restores
+    # orthogonality, and residual-gated callers escalate if quality
+    # suffered. jnp.where (not lax.cond) keeps it vmap/shard-friendly;
+    # the extra pass is O(N b^2), negligible next to the (N,N)(N,b)
+    # iteration matmul.
+    y1 = one_pass(y, 1e-6)
+    ok = jnp.all(jnp.isfinite(y1))
+    y = jnp.where(ok, y1, one_pass(y, 1e-2))
   return y
 
 
