@@ -28,6 +28,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import typing
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -817,12 +818,15 @@ def eig_topk_staged(
     # bound of a refined affinity can overestimate ||m|| by O(sqrt(n)),
     # which would inflate the snap threshold).
     from spectralcluster_tpu.ops import dc as dc_ops
-    w, u, _, wsc = dc_ops.eigh_topk_dc(
+    w, u, res_dc, wsc = dc_ops.eigh_topk_dc(
         m, cfg.max_clusters + 1, jax.random.PRNGKey(17),
         descend=_descend(cfg),
         n_valid=int(n_valid) if with_nvalid else None,
         max_block=cfg.dc_max_block,
         sign_precision=cfg.dc_sign_precision)
+    if _descend(cfg):
+      _warn_near_stop(jax.device_get(w), res_dc, wsc,
+                      cfg.stop_eigenvalue, "spectral D&C top-k")
     wscale = jnp.float32(wsc)
   else:
     sub_jit = _staged_subspace_eig_jit(cfg, with_nvalid)
@@ -831,6 +835,33 @@ def eig_topk_staged(
   gap = _gap_topk_jit(cfg, with_nvalid)
   tail = [w, u, scale, wscale] + ([n_valid] if with_nvalid else [])
   return gap(*tail)
+
+
+def _warn_near_stop(w, res: float, wscale: float, stop_eigenvalue: float,
+                    where: str) -> bool:
+  """Surface the iterative solvers' documented accuracy hole (VERDICT r4
+  item 3): a returned eigenvalue within the solver's certified uncertainty
+  of stop_eigenvalue means the descending scan's break decision (reference
+  utils.py:118-119) could differ from an exact float64 solver's. The
+  residual certificate bounds each value's error by res*wscale (Weyl), so
+  this is detectable exactly; callers get a UserWarning naming the margin
+  so they can escalate (tighter tolerances / EigenSolver.Eigh below the
+  compile wall / float64 CPU verification)."""
+  import numpy as np
+  wh = np.asarray(w)
+  unc = max(res, 1e-6) * wscale
+  near = np.abs(wh - stop_eigenvalue) <= unc
+  if bool(near.any()):
+    vals = ", ".join(f"{v:.4e}" for v in wh[near][:4])
+    warnings.warn(
+        f"{where}: eigenvalue(s) [{vals}] lie within the solver\'s "
+        f"certified uncertainty ({unc:.2e}) of stop_eigenvalue="
+        f"{stop_eigenvalue:g}; the cluster-count break decision may "
+        "differ from an exact solver. Consider a tighter "
+        "subspace_residual_tol, EigenSolver.Eigh, or float64 "
+        "verification.", UserWarning, stacklevel=3)
+    return True
+  return False
 
 
 def spectral_cluster_fixed_k_staged(
@@ -914,7 +945,12 @@ def spectral_cluster_fixed_k_staged(
           max_block=cfg.dc_max_block,
           sign_precision=cfg.dc_sign_precision)
 
-    w, u, _, wscale = _stage("staged_dc", _dc)
+    w, u, res_dc, wscale = _stage("staged_dc", _dc)
+    if _descend(cfg):
+      # One t-float fetch (~0.1 s RTT) buys the exactness guard for the
+      # route marketed as exact-parity.
+      _warn_near_stop(jax.device_get(w), res_dc, wscale,
+                      cfg.stop_eigenvalue, "spectral D&C top-k")
     tail = [w, u, scale, key, jnp.float32(wscale)] + (
         [n_valid] if with_nvalid else [])
     return _stage("staged_finish", finish_topk_jit, *tail)

@@ -500,3 +500,76 @@ class TestCertifiedIterativeRoute:
         jnp.asarray(a.astype(np.float32)), v_miss, w_miss,
         jnp.asarray(n), jnp.float32(b), jax.random.PRNGKey(3)))
     assert float(est) > 90.0  # the missed 100 is found
+
+
+class TestStopEigenvalueGuard:
+  """VERDICT r4 item 3: the deflated-remainder/iterative routes' documented
+  accuracy hole — bulk eigenvalues AT the stop_eigenvalue scale — must be
+  quantified and guarded."""
+
+  def test_bulk_at_stop_scale_values_within_certificate(self):
+    # Spectrum with isolated values straddling stop_eigenvalue=1e-2 plus a
+    # quasi-degenerate bulk just below: both D&C routes must return top-t
+    # values within their certified residual of float64 exact — so a
+    # count divergence vs an exact solver is bounded by the warned margin.
+    n, t = 512, 8
+    eigs = np.concatenate([[5.0, 4.0, 0.02, 0.011],
+                           np.full(n - 4, 0.009)])
+    a = _make_sym(n, eigs)
+    ref = np.linalg.eigh(a.astype(np.float64))[0][::-1][:t]
+    for fast in (True, False):
+      w, v, res, scale = dc.eigh_topk_dc(
+          jnp.asarray(a.astype(np.float32)), t, jax.random.PRNGKey(0),
+          max_block=128, try_iterative_first=fast)
+      w = np.asarray(w)
+      assert np.abs(w - ref).max() <= max(res, 1e-5) * scale + 1e-4, (
+          fast, w, ref, res, scale)
+      # Exact and returned values induce the same eigengap decision here.
+      n_ref, _ = eigen_ops.compute_number_of_clusters(
+          jnp.asarray(ref.astype(np.float32)), max_clusters=7,
+          stop_eigenvalue=1e-2, descend=True)
+      n_got, _ = eigen_ops.compute_number_of_clusters(
+          jnp.asarray(w), max_clusters=7, stop_eigenvalue=1e-2, descend=True)
+      assert int(n_ref) == int(n_got)
+
+  def test_warning_when_values_near_stop(self):
+    import warnings as warnings_mod
+    from spectralcluster_tpu import pipeline as pl
+    w = np.array([5.0, 0.0101, 0.0099, 1e-6])
+    with warnings_mod.catch_warnings(record=True) as rec:
+      warnings_mod.simplefilter("always")
+      hit = pl._warn_near_stop(w, res=1e-4, wscale=5.0,
+                               stop_eigenvalue=1e-2, where="test")
+    assert hit and len(rec) == 1
+    assert "stop_eigenvalue" in str(rec[0].message)
+
+  def test_no_warning_when_values_clear_of_stop(self):
+    import warnings as warnings_mod
+    from spectralcluster_tpu import pipeline as pl
+    w = np.array([5.0, 4.0, 1e-6])
+    with warnings_mod.catch_warnings(record=True) as rec:
+      warnings_mod.simplefilter("always")
+      hit = pl._warn_near_stop(w, res=1e-6, wscale=5.0,
+                               stop_eigenvalue=1e-2, where="test")
+    assert not hit and not rec
+
+  def test_staged_pipeline_surfaces_the_warning(self, monkeypatch):
+    # End-to-end: the staged executor's D&C branch must warn when the
+    # solver hands back values inside the uncertainty band.
+    import warnings as warnings_mod
+    from spectralcluster_tpu import pipeline as pl
+
+    def fake_dc(m, t, key, **kw):
+      w = jnp.asarray(np.array([5.0, 0.01, 1e-6, 1e-6, 1e-6, 1e-6, 1e-6,
+                                1e-6], np.float32))
+      v = jnp.eye(m.shape[0], 8, dtype=jnp.float32)
+      return w, v, 1e-3, 5.0
+    monkeypatch.setattr(dc, "eigh_topk_dc", fake_dc)
+    cfg = pipeline.PipelineConfig(
+        refinement_options=configs.icassp2018_refinement_options(),
+        min_clusters=2, max_clusters=7, dc_max_block=64)
+    x = jnp.asarray(_RNG.randn(128, 8).astype(np.float32))
+    with warnings_mod.catch_warnings(record=True) as rec:
+      warnings_mod.simplefilter("always")
+      pl.spectral_cluster_fixed_k_staged(x, jax.random.PRNGKey(0), cfg)
+    assert any("stop_eigenvalue" in str(r.message) for r in rec)
