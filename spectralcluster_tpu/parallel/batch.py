@@ -32,6 +32,8 @@ from spectralcluster_tpu import pipeline as pipeline_lib
 from spectralcluster_tpu.parallel import mesh as mesh_lib
 from spectralcluster_tpu.precision import precise
 
+_CAST_F32 = jax.jit(lambda x: x.astype(jnp.float32))
+
 
 @functools.lru_cache(maxsize=16)
 def make_batched_cluster_fn(cfg: pipeline_lib.PipelineConfig, mesh):
@@ -263,20 +265,25 @@ def cluster_batch_streamed(
     window: int = 4,
     constraint_matrices: typing.Optional[
         typing.Sequence[np.ndarray]] = None,
+    transfer_dtype=None,
 ) -> typing.List[np.ndarray]:
   """Chunked DP batch clustering with transfer/compute overlap.
 
-  The plain chunked loop (cluster_batch per chunk) serializes
-  host→device staging, compute, and device→host fetch: each chunk's
-  np.asarray(labels) blocks before the next chunk's H2D copy even starts —
-  measured 90.7 s e2e vs 1.555 s/chunk device-resident for the
-  1024-utterance config (VERDICT r4 item 7; the tunnel's ~40 ms/MB
-  transfer is the bottleneck, and it was unoverlapped). This driver keeps
-  up to ``window`` chunks in flight: stage chunk i+1..i+window and
+  Keeps up to ``window`` chunks in flight: stage chunk i+1..i+window and
   dispatch their compute while chunk i's labels are fetched — JAX's async
-  dispatch queues transfers and programs without blocking, so the fetch of
-  chunk i overlaps everything queued behind it. Peak extra HBM =
-  window × chunk × N × d floats (16 MB/chunk at the bench shape).
+  dispatch queues transfers and programs without blocking. Peak extra HBM
+  = window × chunk × N × d floats (16 MB/chunk at the bench shape).
+
+  MEASURED CAVEAT (r5, 1024×N=1024 on the tunneled chip): overlap alone
+  does NOT move the e2e number here — the tunnel is BANDWIDTH-bound
+  (~40 ms/MB × 16 chunks × 64 MB ≈ 43 s of the 45.5 s e2e), and compute
+  (0.13 s/chunk) already hides inside the transfer stream, windowed or
+  not. The lever that actually moves e2e is sending fewer bytes:
+  ``transfer_dtype=jnp.bfloat16`` ships embeddings at half width and
+  casts to float32 on device before the pipeline runs (compute precision
+  unchanged). Embedding rounding at 2^-8 relative perturbs cosine
+  affinities ~1e-3 — label-identical on separated data, but NOT
+  bit-parity: keep the float32 default where reference parity is gated.
 
   All chunks share one padded shape bucket (one compile). Returns
   per-utterance label arrays exactly like cluster_batch.
@@ -295,15 +302,23 @@ def cluster_batch_streamed(
     raise ValueError("need one constraint matrix per utterance")
   fn = make_batched_cluster_fn(cfg, mesh)
 
+  host_dtype = (np.dtype(jnp.bfloat16.dtype) if transfer_dtype is not None
+                and transfer_dtype == jnp.bfloat16 else
+                np.dtype(transfer_dtype) if transfer_dtype is not None
+                else np.float32)
+
   def stage(lo):
     hi = min(lo + chunk, b)
-    batch = np.zeros((chunk, n_pad, d), dtype=np.float32)
+    batch = np.zeros((chunk, n_pad, d), dtype=host_dtype)
     n_valid = np.ones((chunk,), dtype=np.int32)
     for j, u in enumerate(utterances[lo:hi]):
-      batch[j, :u.shape[0]] = u
+      batch[j, :u.shape[0]] = u.astype(host_dtype)
       n_valid[j] = u.shape[0]
     keys = jax.vmap(jax.random.PRNGKey)(seed + lo + np.arange(chunk))
-    args = [jax.device_put(batch), jax.device_put(n_valid), keys]
+    staged = jax.device_put(batch)
+    if host_dtype != np.float32:
+      staged = _CAST_F32(staged)
+    args = [staged, jax.device_put(n_valid), keys]
     if with_constraint:
       cms = np.zeros((chunk, n_pad, n_pad), dtype=np.float32)
       for j, cm in enumerate(constraint_matrices[lo:hi]):
