@@ -161,3 +161,37 @@ def test_constrained_parity_sweep(seed):
         ref.utils.enforce_ordered_labels(ref_c.predict(x, cm)),
         utils.enforce_ordered_labels(our_c.predict(x, cm)),
         err_msg=f"constraint={name} before={before}")
+
+
+@pytest.mark.parametrize("seed", [4, 5, 6])
+def test_staged_constrained_autotuned_parity_sweep(seed):
+  # The r5 staged per-candidate sweep (eig_topk_staged) forced on at small
+  # N must agree with the reference on the FULL constrained + auto-tuned
+  # Turn-to-Diarize configuration — the path the chip runs at N>=8192.
+  from spectralcluster_tpu import configs as our_configs
+  from spectralcluster_tpu.autotune import AutoTune
+  x, _ = _fixture(seed=seed, n=48, d=12, k=3)
+  rng = np.random.RandomState(seed)
+  scores = [0.0] + [float(v) for v in rng.rand(47) * 2.0]
+  cm = ref.ConstraintMatrix(scores, threshold=1).compute_diagonals()
+  ref_c = ref.SpectralClusterer(
+      min_clusters=2, max_clusters=7,
+      refinement_options=ref.RefinementOptions(
+          thresholding_type=ref.ThresholdType.Percentile,
+          thresholding_with_binarization=True,
+          thresholding_preserve_diagonal=True,
+          symmetrize_type=ref.SymmetrizeType.Average,
+          refinement_sequence=ref.configs.TURNTODIARIZE_REFINEMENT_SEQUENCE),
+      constraint_options=ref.constraint.ConstraintOptions(
+          constraint_name=ref.constraint.ConstraintName.ConstraintPropagation,
+          apply_before_refinement=True,
+          constraint_propagation_alpha=0.4),
+      autotune=ref.AutoTune(p_percentile_min=0.40, p_percentile_max=0.95,
+                            init_search_step=0.05, search_level=1),
+      laplacian_type=ref.LaplacianType.GraphCut,
+      row_wise_renorm=True, custom_dist="cosine")
+  ours = our_configs.make_turntodiarize_clusterer()
+  ours.staged_execution_min_n = 32   # force the staged sweep at toy N
+  ref_labels = ref.utils.enforce_ordered_labels(ref_c.predict(x, cm))
+  our_labels = utils.enforce_ordered_labels(ours.predict(x, cm))
+  np.testing.assert_equal(ref_labels, our_labels)
