@@ -825,8 +825,8 @@ def eig_topk_staged(
         max_block=cfg.dc_max_block,
         sign_precision=cfg.dc_sign_precision)
     if _descend(cfg):
-      _warn_near_stop(jax.device_get(w), res_dc, wsc,
-                      cfg.stop_eigenvalue, "spectral D&C top-k")
+      _warn_near_stop(jax.device_get(w), res_dc, wsc, cfg,
+                      "spectral D&C top-k")
     wscale = jnp.float32(wsc)
   else:
     sub_jit = _staged_subspace_eig_jit(cfg, with_nvalid)
@@ -837,31 +837,69 @@ def eig_topk_staged(
   return gap(*tail)
 
 
-def _warn_near_stop(w, res: float, wscale: float, stop_eigenvalue: float,
+def _count_topk_descend_np(w, wscale, cfg: PipelineConfig) -> int:
+  """Numpy mirror of the descending eigengap scan on t extreme values
+  (reference utils.py:117-128 semantics, incl. snapping) — used only by
+  the count-sensitivity guard below, on t<=8-element arrays, to avoid
+  three extra device dispatches per solve."""
+  import numpy as np
+  w = np.asarray(w, np.float64).copy()
+  w[np.abs(w) < cfg.eigenvalue_snap_tol * wscale] = 0.0
+  t = w.shape[0]
+  range_end = min(t, (cfg.max_clusters + 1) if cfg.max_clusters else t)
+  best, n = 0.0, 0
+  for i in range(1, range_end):
+    if w[i - 1] < cfg.stop_eigenvalue:
+      break
+    if cfg.eigengap_type == EigenGapType.Ratio:
+      delta = w[i - 1] / (w[i] + 1e-10)
+    else:
+      delta = (w[i - 1] - w[i]) / max(float(np.max(w)), 1e-30)
+    if delta > best:
+      best, n = delta, i
+  return n
+
+
+def _warn_near_stop(w, res: float, wscale: float, cfg: PipelineConfig,
                     where: str) -> bool:
   """Surface the iterative solvers' documented accuracy hole (VERDICT r4
-  item 3): a returned eigenvalue within the solver's certified uncertainty
-  of stop_eigenvalue means the descending scan's break decision (reference
-  utils.py:118-119) could differ from an exact float64 solver's. The
-  residual certificate bounds each value's error by res*wscale (Weyl), so
-  this is detectable exactly; callers get a UserWarning naming the margin
-  so they can escalate (tighter tolerances / EigenSolver.Eigh below the
-  compile wall / float64 CPU verification)."""
+  item 3) — but only when it can actually change the answer.
+
+  The residual certificate bounds each returned eigenvalue's error by
+  res*wscale (Weyl). A value inside that band around stop_eigenvalue
+  COULD flip the descending scan's break decision (reference
+  utils.py:118-119) vs an exact float64 solver — yet on typical
+  diarization spectra the cluster count is decided by a dominant ratio
+  long before the banded values, so a raw proximity warning would fire on
+  every record-size run. This guard instead re-runs the scan with the
+  banded values pushed to both extremes (+/- the uncertainty) and warns
+  ONLY if the resulting counts disagree — i.e. the count genuinely
+  depends on digits the certificate cannot vouch for."""
   import numpy as np
-  wh = np.asarray(w)
+  wh = np.asarray(w, np.float64)
   unc = max(res, 1e-6) * wscale
-  near = np.abs(wh - stop_eigenvalue) <= unc
-  if bool(near.any()):
-    vals = ", ".join(f"{v:.4e}" for v in wh[near][:4])
-    warnings.warn(
-        f"{where}: eigenvalue(s) [{vals}] lie within the solver\'s "
-        f"certified uncertainty ({unc:.2e}) of stop_eigenvalue="
-        f"{stop_eigenvalue:g}; the cluster-count break decision may "
-        "differ from an exact solver. Consider a tighter "
-        "subspace_residual_tol, EigenSolver.Eigh, or float64 "
-        "verification.", UserWarning, stacklevel=3)
-    return True
-  return False
+  near = np.abs(wh - cfg.stop_eigenvalue) <= unc
+  if not bool(near.any()):
+    return False
+  n0 = _count_topk_descend_np(wh, wscale, cfg)
+  w_hi = wh.copy()
+  w_hi[near] = wh[near] + unc
+  w_lo = wh.copy()
+  w_lo[near] = wh[near] - unc
+  n_hi = _count_topk_descend_np(w_hi, wscale, cfg)
+  n_lo = _count_topk_descend_np(w_lo, wscale, cfg)
+  if n_hi == n0 == n_lo:
+    return False
+  vals = ", ".join(f"{v:.4e}" for v in wh[near][:4])
+  warnings.warn(
+      f"{where}: eigenvalue(s) [{vals}] lie within the solver\'s "
+      f"certified uncertainty ({unc:.2e}) of stop_eigenvalue="
+      f"{cfg.stop_eigenvalue:g} AND the cluster count depends on them "
+      f"(count range [{min(n_lo, n_hi, n0)}, {max(n_lo, n_hi, n0)}]); the "
+      "break decision may differ from an exact solver. Consider a tighter "
+      "subspace_residual_tol, EigenSolver.Eigh, or float64 verification.",
+      UserWarning, stacklevel=3)
+  return True
 
 
 def spectral_cluster_fixed_k_staged(
@@ -949,8 +987,8 @@ def spectral_cluster_fixed_k_staged(
     if _descend(cfg):
       # One t-float fetch (~0.1 s RTT) buys the exactness guard for the
       # route marketed as exact-parity.
-      _warn_near_stop(jax.device_get(w), res_dc, wscale,
-                      cfg.stop_eigenvalue, "spectral D&C top-k")
+      _warn_near_stop(jax.device_get(w), res_dc, wscale, cfg,
+                      "spectral D&C top-k")
     tail = [w, u, scale, key, jnp.float32(wscale)] + (
         [n_valid] if with_nvalid else [])
     return _stage("staged_finish", finish_topk_jit, *tail)

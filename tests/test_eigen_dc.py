@@ -532,16 +532,36 @@ class TestStopEigenvalueGuard:
           jnp.asarray(w), max_clusters=7, stop_eigenvalue=1e-2, descend=True)
       assert int(n_ref) == int(n_got)
 
-  def test_warning_when_values_near_stop(self):
+  def _cfg(self):
+    return pipeline.PipelineConfig(
+        refinement_options=configs.icassp2018_refinement_options(),
+        min_clusters=2, max_clusters=7)
+
+  def test_warning_when_count_depends_on_banded_value(self):
     import warnings as warnings_mod
     from spectralcluster_tpu import pipeline as pl
-    w = np.array([5.0, 0.0101, 0.0099, 1e-6])
+    # 0.0101 sits in the band; pushing it below stop breaks the scan
+    # before its huge ratio (n flips 2 -> 1) => must warn.
+    w = np.array([5.0, 0.0101, 1e-6, 1e-6])
     with warnings_mod.catch_warnings(record=True) as rec:
       warnings_mod.simplefilter("always")
-      hit = pl._warn_near_stop(w, res=1e-4, wscale=5.0,
-                               stop_eigenvalue=1e-2, where="test")
+      hit = pl._warn_near_stop(w, res=1e-4, wscale=5.0, cfg=self._cfg(),
+                               where="test")
     assert hit and len(rec) == 1
     assert "stop_eigenvalue" in str(rec[0].message)
+
+  def test_no_warning_when_count_is_robust(self):
+    import warnings as warnings_mod
+    from spectralcluster_tpu import pipeline as pl
+    # Values ARE in the band (the record-size regime: unc swallows the
+    # bulk) but a smooth tail means every +/-unc perturbation leaves the
+    # dominant ratio (and hence the count) unchanged => stay quiet.
+    w = np.array([5.0, 4.0, 0.0099, 0.0090, 0.0085, 0.0080])
+    with warnings_mod.catch_warnings(record=True) as rec:
+      warnings_mod.simplefilter("always")
+      hit = pl._warn_near_stop(w, res=1e-3, wscale=5.0, cfg=self._cfg(),
+                               where="test")
+    assert not hit and not rec
 
   def test_no_warning_when_values_clear_of_stop(self):
     import warnings as warnings_mod
@@ -549,8 +569,8 @@ class TestStopEigenvalueGuard:
     w = np.array([5.0, 4.0, 1e-6])
     with warnings_mod.catch_warnings(record=True) as rec:
       warnings_mod.simplefilter("always")
-      hit = pl._warn_near_stop(w, res=1e-6, wscale=5.0,
-                               stop_eigenvalue=1e-2, where="test")
+      hit = pl._warn_near_stop(w, res=1e-6, wscale=5.0, cfg=self._cfg(),
+                               where="test")
     assert not hit and not rec
 
   def test_staged_pipeline_surfaces_the_warning(self, monkeypatch):
