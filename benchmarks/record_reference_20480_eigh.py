@@ -18,7 +18,11 @@ evaluation time (NOT comparable to a reference predict_s — dgeev would
 be several times slower and in fact crashes) into baseline_numpy.json as
 `eigh_equiv_s` with a `reference_segfault` note.
 
-Usage: nohup ./run_cpu.sh python benchmarks/record_reference_20480_eigh.py
+Usage (single-threaded BLAS is REQUIRED — the multithreaded OpenBLAS
+dgemm/dgeev kernels segfault nondeterministically at this size on this
+host, see dmesg):
+  OPENBLAS_NUM_THREADS=1 nohup ./run_cpu.sh \
+      python benchmarks/record_reference_20480_eigh.py
 """
 import json
 import os
