@@ -88,12 +88,15 @@ def run_one(n, repeats=3):
     if base:
       # Prefer the idle-host re-measurement: the label-recording runs
       # shared the host with a concurrent N=20480 job and came out up to
-      # 12x inflated (see BASELINE.md round-5 T2D section).
-      ref_s = base.get("predict_s_uncontended", base["predict_s"])
-      row["numpy_predict_s"] = round(ref_s, 2)
-      row["speedup"] = round(ref_s / row["latency_s"], 1)
-      if "predict_s_uncontended" not in base:
-        row["numpy_note"] = "contended measurement (see BASELINE.md)"
+      # 12x inflated (see BASELINE.md round-5 T2D section). Rows recorded
+      # via the eigh-equivalent path have labels but no direct predict
+      # timing — report the speedup only when a real denominator exists.
+      ref_s = base.get("predict_s_uncontended", base.get("predict_s"))
+      if ref_s is not None:
+        row["numpy_predict_s"] = round(ref_s, 2)
+        row["speedup"] = round(ref_s / row["latency_s"], 1)
+        if "predict_s_uncontended" not in base:
+          row["numpy_note"] = "contended measurement (see BASELINE.md)"
   return row
 
 
